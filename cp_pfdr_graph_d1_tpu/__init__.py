@@ -1,0 +1,22 @@
+"""TPU-native graph-TV proximal-splitting framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+``CP_PFDR_graph_d1`` C++/OpenMP library: cut-pursuit outer solvers over
+preconditioned forward-Douglas-Rachford inner solvers for graph
+total-variation regularized problems (fused LASSO, box-constrained quadratic,
+separable-loss simplex labeling).
+"""
+
+from .config import CPOptions, Lipsch, PFDROptions
+from .graph import GraphD1
+from .operators import (DenseOp, DiagOp, GramOp, IdentityOp, QuadOp,
+                        make_operator)
+from .solvers import PFDRResult, VertexProx, pfdr_quadratic_d1
+
+__all__ = [
+    "CPOptions", "Lipsch", "PFDROptions", "GraphD1",
+    "DenseOp", "DiagOp", "GramOp", "IdentityOp", "QuadOp", "make_operator",
+    "PFDRResult", "VertexProx", "pfdr_quadratic_d1",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,80 @@
+"""Typed solver configuration.
+
+The reference passes every knob positionally (e.g.
+``/root/reference/src/PFDR_graph_quadratic_d1_l1.cpp:270`` takes 22 positional
+arguments); the only defaults live in the Python binding
+(``/root/reference/python/CP_quadratic_l1_py.cpp:68-76``).  Here the knobs are
+typed dataclasses carrying those same defaults.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Lipsch(enum.Enum):
+    """How the Lipschitz information ``L`` is interpreted.
+
+    Mirrors the ``Lipschtype {SCAL, DIAG}`` enum of the reference
+    (``/root/reference/include/PFDR_graph_quadratic_d1_l1.hpp:34``): ``SCAL``
+    means ``L`` is a scalar bound on the operator norm of the Hessian, ``DIAG``
+    means ``L`` is a per-vertex diagonal metric such that ``diag(L) - Hessian``
+    is positive semi-definite.
+    """
+
+    SCAL = 0
+    DIAG = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PFDROptions:
+    """Options of the inner preconditioned forward-Douglas-Rachford solver.
+
+    Defaults follow the reference Python binding
+    (``/root/reference/python/CP_quadratic_l1_py.cpp:68-76``).
+
+    Attributes:
+      rho: relaxation parameter, in ]0, 2[.
+      cond_min: small positive floor improving stability of the
+        preconditioning (a typical value is 1e-3).
+      dif_rcd: reconditioning threshold on the relative iterate evolution;
+        a reconditioning is triggered (and the threshold divided by 100)
+        whenever the evolution falls below it.  0 disables reconditioning.
+      dif_tol: stopping threshold on the relative iterate evolution.
+      it_max: maximum number of iterations.
+    """
+
+    rho: float = 1.0
+    cond_min: float = 1e-3
+    dif_rcd: float = 0.0
+    dif_tol: float = 1e-4
+    it_max: int = 10_000
+
+
+@dataclasses.dataclass(frozen=True)
+class CPOptions:
+    """Options of the outer cut-pursuit loop.
+
+    Defaults follow ``/root/reference/python/CP_quadratic_l1_py.cpp:68-76``.
+
+    Attributes:
+      dif_tol: stopping threshold on relative iterate evolution between two
+        cut-pursuit iterations.  For the multi-label (simplex) solver, a value
+        >= 1 switches to counting changed maximum-likelihood labels instead.
+      it_max: maximum number of cut-pursuit iterations (graph cuts).
+      pfdr: options of the inner PFDR solver run on each reduced problem.
+      verbose: 0 silences the solver, a positive value prints progress.
+    """
+
+    dif_tol: float = 1e-3
+    it_max: int = 10
+    pfdr: PFDROptions = dataclasses.field(default_factory=PFDROptions)
+    verbose: int = 0
+
+
+# Parameters used by the reference cut-pursuit solvers for the power-method
+# estimation of the reduced operator norm
+# (/root/reference/src/CP_PFDR_graph_quadratic_d1_l1.cpp:270-274).
+OPERATOR_NORM_TOL = 1e-3
+OPERATOR_NORM_IT_MAX = 100
+OPERATOR_NORM_NB_INIT = 10

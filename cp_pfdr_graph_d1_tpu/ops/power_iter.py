@@ -1,0 +1,64 @@
+"""Squared operator norm by batched power iteration.
+
+Reference: ``/root/reference/src/operator_norm_matrix.cpp:85-212`` runs
+``nbInit`` independent random power iterations (one per OpenMP thread) on
+``A^t A`` and returns the largest limit.  TPU-native version: all restarts run
+as *columns of one matrix*, so every iteration is a single MXU matmul; the
+PRNG is a fixed, explicit JAX key so results are reproducible.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (OPERATOR_NORM_IT_MAX, OPERATOR_NORM_NB_INIT,
+                      OPERATOR_NORM_TOL)
+
+
+@partial(jax.jit, static_argnames=("gram_apply", "dim", "dtype", "tol",
+                                   "it_max", "nb_init"))
+def operator_norm(gram_apply, dim: int, dtype=jnp.float32, *,
+                  tol: float = OPERATOR_NORM_TOL,
+                  it_max: int = OPERATOR_NORM_IT_MAX,
+                  nb_init: int = OPERATOR_NORM_NB_INIT,
+                  key=None):
+    """Returns ``||A||^2`` (largest eigenvalue of ``A^t A``).
+
+    Args:
+      gram_apply: callable mapping [dim, B] -> [dim, B], applying ``A^t A``
+        columnwise (hashable/static, e.g. a module-level function or a
+        ``functools.partial`` of one).
+      dim: dimension of the domain of ``A^t A``.
+      tol: per-restart relative convergence tolerance ``(a - b)/b < tol``
+        (``operator_norm_matrix.cpp:200``).
+      key: optional PRNG key; defaults to a fixed seed for reproducibility.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (dim, nb_init), dtype, minval=-1.0, maxval=1.0)
+
+    def norm(z):
+        return jnp.sqrt(jnp.sum(z * z, axis=0))
+
+    # one warm-up application, as in the reference (:192-194)
+    b = norm(x)
+    x = gram_apply(x / b)
+    b = norm(x)
+
+    def cond(state):
+        x, b, it, done = state
+        return jnp.logical_and(it < it_max, jnp.logical_not(done))
+
+    def body(state):
+        x, b, it, _ = state
+        safe_b = jnp.where(b > 0, b, 1)
+        x = gram_apply(x / safe_b)
+        a = norm(x)
+        done = jnp.all((a - b) < tol * safe_b)
+        return x, jnp.where(b > 0, a, 0), it + 1, done
+
+    _, b, _, _ = jax.lax.while_loop(
+        cond, body, (x, b, jnp.asarray(0), jnp.asarray(False)))
+    return jnp.max(b)
