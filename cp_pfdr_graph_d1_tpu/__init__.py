@@ -11,12 +11,14 @@ from .config import CPOptions, Lipsch, PFDROptions
 from .graph import GraphD1
 from .operators import (DenseOp, DiagOp, GramOp, IdentityOp, QuadOp,
                         make_operator)
-from .solvers import PFDRResult, VertexProx, pfdr_quadratic_d1
+from .solvers import (PFDRResult, SimplexResult, VertexProx,
+                      pfdr_loss_d1_simplex, pfdr_quadratic_d1)
 
 __all__ = [
     "CPOptions", "Lipsch", "PFDROptions", "GraphD1",
     "DenseOp", "DiagOp", "GramOp", "IdentityOp", "QuadOp", "make_operator",
-    "PFDRResult", "VertexProx", "pfdr_quadratic_d1",
+    "PFDRResult", "SimplexResult", "VertexProx", "pfdr_loss_d1_simplex",
+    "pfdr_quadratic_d1",
 ]
 
 __version__ = "0.1.0"
