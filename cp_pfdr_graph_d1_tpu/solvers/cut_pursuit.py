@@ -1,0 +1,387 @@
+"""Cut-pursuit outer solver for quadratic + d1 (+ l1 / bounds) problems.
+
+Minimizes ``1/2 ||y - A x||^2 + sum_e la_d1 |x_u - x_v| + g(x)`` (with ``g``
+the l1(+positivity) or box term) by alternating steepest binary cuts on the
+full graph with PFDR solves of the problem contracted onto the connected
+components of inactive edges — the algorithm of
+``/root/reference/src/CP_PFDR_graph_quadratic_d1_l1.cpp:212-1007`` and
+``.../CP_PFDR_graph_quadratic_d1_bounds.cpp:207`` (unified here: only the
+cut capacities and the scalar initialization differ between the two
+families).
+
+TPU mapping: the FLOP-heavy stages — gradient of the smooth part, reduced
+operator construction (one-hot MXU matmuls instead of per-component column
+sums), Jacobi-equilibrated power-method Lipschitz metric, and the reduced
+PFDR solve — run jitted on device with reduced shapes padded to
+power-of-two buckets.  The combinatorial stages — steepest cut (native
+push-relabel min-cut), connected components, reduced-graph contraction —
+run vectorized on host, where they are index manipulation, not FLOPs.
+"""
+from __future__ import annotations
+
+import time as _time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import maxflow
+from ..config import CPOptions, Lipsch
+from ..graph import GraphD1
+from ..operators import DenseOp, DiagOp, GramOp, IdentityOp, QuadOp
+from .cut_pursuit_common import (ReducedGraph, bucket, build_reduced_graph,
+                                 connected_components, machine_eps,
+                                 pad_reduced_graph)
+from .pfdr_quadratic import VertexProx, pfdr_quadratic_d1
+
+
+class CPState(NamedTuple):
+    """Warm-restart state: everything needed to resume the outer loop
+    (the reference's ``CPql1_Restart`` — untested there, tested here)."""
+    active: np.ndarray   # bool [E] cut-pursuit active-edge flags
+    cv: np.ndarray       # int32 [V] component labels
+    rx: np.ndarray       # [rV] component values
+
+
+class CPResult(NamedTuple):
+    cv: np.ndarray       # int32 [V]
+    rx: np.ndarray       # [rV]
+    it: int
+    time: np.ndarray     # [it + 1] wall-clock seconds per CP iteration
+    obj: np.ndarray      # [it + 1] objective trace (when monitored)
+    dif: np.ndarray      # [it] iterate evolution
+    state: CPState
+
+
+# ---------------------------------------------------------------------------
+# jitted device stages
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _grad_smooth(op: QuadOp, obs, x_full):
+    return op.grad(x_full, obs)
+
+
+@jax.jit
+def _objective(op: QuadOp, obs, x_full, graph: GraphD1, la_l1, la_l1_on):
+    obj = op.quad_obj(x_full, obs)
+    obj = obj + jnp.sum(graph.la_d1 * jnp.abs(x_full[graph.eu]
+                                              - x_full[graph.ev]))
+    obj = obj + la_l1_on * jnp.sum(la_l1 * jnp.abs(x_full))
+    return obj
+
+
+@partial(jax.jit, static_argnames=("rv_cap", "pre_at"))
+def _reduce_dense(a, obs, cv, rv_cap: int, pre_at: bool):
+    """Reduced operator, observation and DIAG Lipschitz metric for the dense
+    mode (``CP_PFDR_graph_quadratic_d1_l1.cpp:663-836``)."""
+    from ..ops.power_iter import operator_norm
+
+    s = jax.nn.one_hot(cv, rv_cap, dtype=a.dtype)
+    ra = a @ s  # [N, rv_cap] — component column sums on the MXU
+    if pre_at:
+        raa = ra.T @ ra
+        ry = ra.T @ obs
+        d = jnp.sqrt(jnp.diagonal(raa))
+        d_safe = jnp.where(d > 0, d, 1)
+        eq = raa / (d_safe[:, None] * d_safe[None, :])
+        c = operator_norm(_MatApply(eq), rv_cap, a.dtype)
+        lipsch = jnp.diagonal(raa) * c
+        return raa, ry, lipsch
+    else:
+        cn = jnp.sqrt(jnp.sum(ra * ra, axis=0))
+        cn_safe = jnp.where(cn > 0, cn, 1)
+        eq = ra / cn_safe
+        c = operator_norm(_GramApply(eq), rv_cap, a.dtype)
+        lipsch = cn * cn * c
+        return ra, obs, lipsch
+
+
+@partial(jax.jit, static_argnames=("rv_cap",))
+def _reduce_gram(gram, obs, cv, rv_cap: int):
+    """Reduced quantities for the premultiplied (A^t A) mode."""
+    from ..ops.power_iter import operator_norm
+
+    s = jax.nn.one_hot(cv, rv_cap, dtype=gram.dtype)
+    raa = s.T @ (gram @ s)
+    ry = obs @ s
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(raa), 0))
+    d_safe = jnp.where(d > 0, d, 1)
+    eq = raa / (d_safe[:, None] * d_safe[None, :])
+    c = operator_norm(_MatApply(eq), rv_cap, gram.dtype)
+    lipsch = jnp.diagonal(raa) * c
+    return raa, ry, lipsch
+
+
+@partial(jax.jit, static_argnames=("rv_cap",))
+def _reduce_diag(diag, obs, cv, rv_cap: int):
+    """Reduced quantities for the diagonal/identity mode: the reduced Gram
+    stays diagonal and is its own Lipschitz metric (``:774-776``)."""
+    s = jax.nn.one_hot(cv, rv_cap, dtype=obs.dtype)
+    rdiag = diag @ s
+    ry = obs @ s
+    return rdiag, ry, rdiag
+
+
+class _MatApply:
+    """Hashable symmetric-matrix application for the power method."""
+
+    def __init__(self, m):
+        self.m = m
+
+    def __call__(self, x):
+        return self.m @ x
+
+
+class _GramApply:
+    def __init__(self, a):
+        self.a = a
+
+    def __call__(self, x):
+        return self.a.T @ (self.a @ x)
+
+
+# ---------------------------------------------------------------------------
+# host-side steepest cut
+# ---------------------------------------------------------------------------
+
+def _steepest_cut(dfs, x_full, eu, ev, la_d1, active, la_l1, positivity,
+                  lo, hi, differentiable):
+    """Runs the one or two min-cuts of a CP iteration; returns the updated
+    active mask and the number of newly activated edges
+    (``CP_PFDR_graph_quadratic_d1_l1.cpp:410-549`` and the bounds analog
+    ``CP_PFDR_graph_quadratic_d1_bounds.cpp:390-532``)."""
+    inact = ~active
+    ieu, iev, ila = eu[inact], ev[inact], la_d1[inact]
+    num_v = len(dfs)
+
+    def cut(c):
+        side = maxflow.min_cut(num_v, ieu, iev, ila, c)
+        return side[ieu] != side[iev]
+
+    if differentiable:
+        sep = cut(dfs)
+    else:
+        zero = x_full == 0
+        if la_l1 is not None:
+            c1 = dfs + np.where(zero, la_l1, 0.0)
+            if positivity:
+                c2 = np.where(zero, np.inf, -dfs)
+            else:
+                c2 = -dfs + np.where(zero, la_l1, 0.0)
+        else:
+            # bounds family: moves blocked where the bound binds
+            c1 = np.where(x_full == hi, np.inf, dfs) if np.isfinite(hi) \
+                else dfs
+            c2 = np.where(x_full == lo, np.inf, -dfs) if np.isfinite(lo) \
+                else -dfs
+        sep = cut(c1) | cut(c2)
+
+    new_active = active.copy()
+    idx = np.nonzero(inact)[0][sep]
+    new_active[idx] = True
+    return new_active, len(idx)
+
+
+def _d1_sign_terms(dfs, x_full, eu, ev, la_d1, active):
+    """Adds the differentiable d1 contribution of active edges
+    (``CP_PFDR_graph_quadratic_d1_l1.cpp:376-391``), in place."""
+    ae = np.nonzero(active)[0]
+    if not len(ae):
+        return
+    d = x_full[eu[ae]] - x_full[ev[ae]]
+    s = np.sign(d) * la_d1[ae]
+    np.add.at(dfs, eu[ae], s)
+    np.add.at(dfs, ev[ae], -s)
+
+
+# ---------------------------------------------------------------------------
+# main solver
+# ---------------------------------------------------------------------------
+
+def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
+                    la_l1=None, positivity: bool = False,
+                    bounds=None,
+                    opt: CPOptions = CPOptions(),
+                    monitor: bool = False,
+                    state: Optional[CPState] = None) -> CPResult:
+    """Cut-pursuit solve; returns component labels ``cv`` and values ``rx``
+    (full solution ``x = rx[cv]``), plus ``Time``/``Obj``/``Dif`` traces.
+
+    Args:
+      op: quadratic operator (Dense / Gram / Diag / Identity).
+      obs: observation in the operator's convention.
+      la_l1: optional [V] (or scalar) l1 weights — selects the l1 family.
+      positivity: adds the nonnegativity constraint (l1 family).
+      bounds: optional (lo, hi) scalars — selects the bounds family
+        (mutually exclusive with la_l1/positivity).
+      state: optional warm restart from a previous result's ``.state``.
+    """
+    t0 = _time.monotonic()
+    eu = np.asarray(graph.eu)
+    ev = np.asarray(graph.ev)
+    la_d1 = np.asarray(graph.la_d1)
+    num_v = graph.num_vertices
+    num_e = graph.num_edges
+    dtype = np.asarray(obs).dtype
+    obs_dev = jnp.asarray(obs)
+
+    if bounds is not None and (la_l1 is not None or positivity):
+        raise ValueError("bounds is exclusive with la_l1/positivity")
+    lo, hi = (-np.inf, np.inf) if bounds is None else (
+        float(bounds[0]), float(bounds[1]))
+    if la_l1 is not None:
+        la_l1 = np.broadcast_to(np.asarray(la_l1, dtype), (num_v,)).copy()
+    differentiable = (la_l1 is None and not positivity
+                      and not (np.isfinite(lo) or np.isfinite(hi)))
+    if bounds is not None:
+        vprox = VertexProx(kind="bounds", lo=lo, hi=hi)
+    elif la_l1 is not None:
+        vprox = VertexProx(kind="l1", positivity=positivity)
+    elif positivity:
+        vprox = VertexProx(kind="l1", positivity=True)
+        la_l1 = np.zeros(num_v, dtype)
+    else:
+        vprox = VertexProx()
+
+    eps = machine_eps(dtype, opt.dif_tol)
+    dif_tol2 = opt.dif_tol * opt.dif_tol
+
+    la_l1_dev = jnp.asarray(la_l1 if la_l1 is not None
+                            else np.zeros(num_v, dtype))
+    la_l1_on = jnp.asarray(0.0 if la_l1 is None else 1.0, dtype)
+
+    # -- initialization: single component, scalar prox solve (:66-175) ------
+    if state is None:
+        ry1, raa1 = map(float, jax.device_get(
+            jnp.stack(op.ones_image(num_v, obs_dev))))
+        if bounds is not None:
+            x1 = min(max(ry1 / raa1, lo), hi)
+        else:
+            rl1 = float(la_l1.sum()) if la_l1 is not None else 0.0
+            if ry1 > rl1:
+                x1 = (ry1 - rl1) / raa1
+            elif not positivity and ry1 < -rl1:
+                x1 = (ry1 + rl1) / raa1
+            else:
+                x1 = 0.0
+        active = np.zeros(num_e, bool)
+        cv = np.zeros(num_v, np.int32)
+        rx = np.asarray([x1], dtype)
+    else:
+        active = state.active.copy()
+        cv = state.cv.copy()
+        rx = state.rx.copy()
+
+    times = [0.0]
+    objs = []
+    difs = []
+    x_prev = rx[cv]
+    if monitor:
+        objs.append(float(_objective(op, obs_dev, jnp.asarray(x_prev),
+                                     graph, la_l1_dev, la_l1_on)))
+
+    pfdr_it_prev = opt.pfdr.it_max
+    it = 0
+    dif = max(dif_tol2, 1.0)
+    num_comp = len(rx)
+
+    while it < opt.it_max and dif >= dif_tol2:
+        x_full = rx[cv]
+
+        # -- steepest cut (:337-549) ---------------------------------------
+        dfs = np.array(jax.device_get(
+            _grad_smooth(op, obs_dev, jnp.asarray(x_full))), dtype)
+        _d1_sign_terms(dfs, x_full, eu, ev, la_d1, active)
+        if la_l1 is not None:
+            dfs += np.sign(x_full) * la_l1
+        active, n_new = _steepest_cut(
+            dfs, x_full, eu, ev, la_d1, active, la_l1, positivity, lo, hi,
+            differentiable)
+
+        if n_new == 0:  # nothing to recompute (:556-563)
+            difs.append(0.0)
+            dif = 0.0
+            it += 1
+            times.append(_time.monotonic() - t0)
+            if monitor:
+                objs.append(objs[-1] if objs else float("nan"))
+            continue
+
+        # -- contraction (:568-661) ----------------------------------------
+        num_comp, cv = connected_components(num_v, eu, ev, ~active)
+        rg = build_reduced_graph(cv, num_comp, eu, ev, la_d1, active, eps)
+        rv_cap = bucket(num_comp)
+        re_cap = bucket(len(rg.eu))
+        reu, rev, rla = pad_reduced_graph(rg, rv_cap, re_cap)
+        rgraph = GraphD1.create(reu, rev, rla, num_vertices=rv_cap,
+                                dtype=obs_dev.dtype)
+        cv_dev = jnp.asarray(cv)
+
+        # -- reduced operator + Lipschitz metric (:663-836) ----------------
+        if isinstance(op, DenseOp):
+            n_obs = op.a.shape[0]
+            pre_at = num_comp < (2 * n_obs * pfdr_it_prev) // (
+                n_obs + pfdr_it_prev)
+            mat, ry, lipsch = _reduce_dense(op.a, obs_dev, cv_dev, rv_cap,
+                                            pre_at)
+            r_op = GramOp(mat) if pre_at else DenseOp(mat)
+        elif isinstance(op, GramOp):
+            mat, ry, lipsch = _reduce_gram(op.gram, obs_dev, cv_dev, rv_cap)
+            r_op = GramOp(mat)
+        else:
+            diag = (op.diag if isinstance(op, DiagOp)
+                    else jnp.ones((num_v,), obs_dev.dtype))
+            rdiag, ry, lipsch = _reduce_diag(diag, obs_dev, cv_dev, rv_cap)
+            r_op = DiagOp(rdiag)
+
+        # reduced l1 weights: summed per component
+        if la_l1 is not None:
+            r_la_l1 = np.zeros(rv_cap, dtype)
+            np.add.at(r_la_l1, cv, la_l1)
+            r_la_l1 = jnp.asarray(r_la_l1)
+        else:
+            r_la_l1 = None
+
+        # -- reduced PFDR solve (:842-859) ---------------------------------
+        res = pfdr_quadratic_d1(
+            r_op, ry, rgraph, la_l1=r_la_l1, vprox=vprox, lipsch=lipsch,
+            ltype=Lipsch.DIAG, opt=opt.pfdr)
+        pfdr_it_prev = max(int(res.it), 1)
+        rx = np.asarray(jax.device_get(res.x), dtype)[:num_comp]
+
+        # -- merge almost-equal neighboring components (:863-886) ----------
+        x_full = rx[cv]
+        ae = np.nonzero(active)[0]
+        if len(ae):
+            a = x_full[eu[ae]]
+            b = x_full[ev[ae]]
+            d = np.abs(a - b)
+            amax = np.maximum(np.abs(a), np.abs(b))
+            rel = np.where(amax > eps, d / np.maximum(amax, eps), d / eps)
+            active[ae[rel <= opt.dif_tol]] = False
+
+        # -- evolution + objective (:889-975) ------------------------------
+        delta = x_full - x_prev
+        den = float(np.dot(x_full, x_full))
+        dif = float(np.dot(delta, delta)) / (den if den > eps else eps)
+        difs.append(dif)
+        x_prev = x_full
+        it += 1
+        times.append(_time.monotonic() - t0)
+        if monitor:
+            objs.append(float(_objective(op, obs_dev, jnp.asarray(x_full),
+                                         graph, la_l1_dev, la_l1_on)))
+        if opt.verbose:
+            print(f"CP it {it}: {num_comp} components, "
+                  f"{int(active.sum())} active edges, dif {dif:.3g}, "
+                  f"PFDR it {pfdr_it_prev}")
+
+    return CPResult(
+        cv=cv, rx=rx, it=it,
+        time=np.asarray(times),
+        obj=np.asarray(objs) if monitor else np.zeros(0, dtype),
+        dif=np.asarray(difs),
+        state=CPState(active=active, cv=cv, rx=rx))

@@ -1,0 +1,112 @@
+"""Shared host-side machinery of the cut-pursuit outer solvers.
+
+Cut-pursuit alternates graph cuts on the full graph with solves of a reduced
+problem whose size shrinks/grows dynamically.  The XLA model wants static
+shapes, so the host orchestrates: connected components and reduced-graph
+contraction run vectorized in numpy/scipy (they are O(E) index manipulation,
+not FLOP-bound), while every FLOP-heavy piece (gradients, reduced operators,
+Lipschitz metrics, the PFDR solve) runs jitted on device with reduced shapes
+padded to power-of-two buckets to bound recompilation.
+
+Reference structures reproduced: DFS connected components over inactive
+edges (``/root/reference/src/CP_PFDR_graph_quadratic_d1_l1.cpp:570-596``),
+reduced connectivity with parallel-edge merging, self-loops for
+same-component active edges, and eps self-loops for isolated components
+(``:607-661``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse import csgraph
+
+
+def bucket(n: int, minimum: int = 8) -> int:
+    """Next power-of-two capacity >= n (bounds jit recompilation count)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def connected_components(num_vertices: int, eu, ev, inactive_mask):
+    """Labels vertices by connectivity over inactive edges.
+
+    Matches the reference's DFS labeling order (components numbered by their
+    smallest vertex, ``CP_PFDR_graph_quadratic_d1_l1.cpp:570-596``) because
+    scipy also assigns labels in order of first encounter over 0..V-1.
+
+    Returns (num_components, labels[V] int32).
+    """
+    iu = eu[inactive_mask]
+    iv = ev[inactive_mask]
+    m = sp.coo_matrix(
+        (np.ones(len(iu), np.int8), (iu, iv)),
+        shape=(num_vertices, num_vertices))
+    n, labels = csgraph.connected_components(m, directed=False)
+    return int(n), labels.astype(np.int32)
+
+
+@dataclasses.dataclass
+class ReducedGraph:
+    """Contracted graph over components (host arrays)."""
+    num_components: int
+    eu: np.ndarray        # int32 [rE]
+    ev: np.ndarray        # int32 [rE]
+    la_d1: np.ndarray     # [rE]
+
+
+def build_reduced_graph(labels: np.ndarray, num_components: int,
+                        eu: np.ndarray, ev: np.ndarray, la_d1: np.ndarray,
+                        active_mask: np.ndarray, eps: float) -> ReducedGraph:
+    """Contracts active nonzero-weight edges onto components.
+
+    Parallel edges merge with summed weights; active edges internal to one
+    component become self-loops; components touched by no nonzero active
+    edge get an ``eps`` self-loop so PFDR's preconditioner stays definite
+    (``CP_PFDR_graph_quadratic_d1_l1.cpp:607-661``).
+    """
+    sel = active_mask & (la_d1 > 0)
+    ru = labels[eu[sel]]
+    rv = labels[ev[sel]]
+    w = la_d1[sel]
+    lo = np.minimum(ru, rv)
+    hi = np.maximum(ru, rv)
+    keys = lo.astype(np.int64) * num_components + hi
+    uniq, inv = np.unique(keys, return_inverse=True)
+    wsum = np.bincount(inv, weights=w, minlength=len(uniq))
+    r_eu = (uniq // num_components).astype(np.int32)
+    r_ev = (uniq % num_components).astype(np.int32)
+    # isolated components: incident to no nonzero active edge
+    touched = np.zeros(num_components, bool)
+    touched[r_eu] = True
+    touched[r_ev] = True
+    iso = np.nonzero(~touched)[0].astype(np.int32)
+    if len(iso):
+        r_eu = np.concatenate([r_eu, iso])
+        r_ev = np.concatenate([r_ev, iso])
+        wsum = np.concatenate([wsum, np.full(len(iso), eps)])
+    return ReducedGraph(num_components, r_eu, r_ev,
+                        wsum.astype(la_d1.dtype))
+
+
+def pad_reduced_graph(rg: ReducedGraph, rv_cap: int, re_cap: int):
+    """Pads the reduced edge set to capacity with inert zero-weight
+    self-loops — spread across vertices so the incidence table's max degree
+    stays flat.  The PFDR solvers treat zero-weight edges as absent."""
+    pad = re_cap - len(rg.eu)
+    spread = (np.arange(pad, dtype=np.int32) % rv_cap).astype(np.int32)
+    eu = np.concatenate([rg.eu, spread])
+    ev = np.concatenate([rg.ev, spread])
+    la = np.concatenate([rg.la_d1, np.zeros(pad, rg.la_d1.dtype)])
+    return eu, ev, la
+
+
+def machine_eps(dtype, dif_tol: float) -> float:
+    """Reference epsilon rule (``CP_PFDR_graph_quadratic_d1_l1.cpp:235-252``):
+    the machine epsilon, or dif_tol when it is a smaller positive value."""
+    m = float(np.finfo(dtype).eps)
+    return dif_tol if 0 < dif_tol < m else m

@@ -1,0 +1,150 @@
+"""Cut-pursuit outer solver vs the compiled reference oracle.
+
+Reference entries: ``CP_PFDR_graph_quadratic_d1_l1``
+(``/root/reference/src/CP_PFDR_graph_quadratic_d1_l1.cpp:212``) and the
+bounds variant.  The steepest-cut/contract/re-solve trajectory is compared
+end-to-end: final full solutions must agree within the convergence
+tolerance, and partitions must agree on well-separated problems.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cp_pfdr_graph_d1_tpu import CPOptions, DenseOp, GraphD1, IdentityOp, \
+    PFDROptions
+from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+
+from . import _oracle
+from .conftest import make_grid_graph
+
+
+def make_problem(h=8, w=8, n=30, seed=0, noise=0.02):
+    v = h * w
+    eu, ev, la = make_grid_graph(h, w, seed=seed)
+    r = np.random.default_rng(seed + 200)
+    a = r.normal(size=(n, v)) / np.sqrt(n)
+    # piecewise-constant ground truth: two constant blobs
+    x_true = np.zeros((h, w))
+    x_true[1:4, 1:4] = 1.5
+    x_true[5:7, 4:7] = -2.0
+    x_true = x_true.ravel()
+    y = a @ x_true + noise * r.normal(size=n)
+    return eu, ev, 0.3 * la, a, y
+
+
+def full_solution(cv, rx):
+    return np.asarray(rx)[np.asarray(cv)]
+
+
+@pytest.mark.oracle
+def test_dense_l1_matches_reference():
+    eu, ev, la, a, y = make_problem()
+    la_l1 = np.full(a.shape[1], 0.02)
+    opt = CPOptions(dif_tol=1e-5, it_max=12,
+                    pfdr=PFDROptions(rho=1.5, dif_tol=1e-8, it_max=10_000))
+    res = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y),
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        la_l1=la_l1, opt=opt)
+    cv_r, rx_r, it_r, _ = _oracle.cp_ql1(
+        y, a, eu, ev, la, la_l1, 0, CP_difTol=1e-5, CP_itMax=12, rho=1.5,
+        difTol=1e-8, itMax=10_000)
+    x_ours = full_solution(res.cv, res.rx)
+    x_ref = full_solution(cv_r, rx_r)
+    np.testing.assert_allclose(x_ours, x_ref, atol=2e-5)
+    # partitions agree up to relabeling on this well-separated problem
+    assert len(res.rx) == len(rx_r)
+
+
+@pytest.mark.oracle
+def test_dense_l1_positivity_matches_reference():
+    eu, ev, la, a, y = make_problem(seed=1)
+    # positive ground truth for a meaningful positivity run
+    la_l1 = np.full(a.shape[1], 0.05)
+    opt = CPOptions(dif_tol=1e-5, it_max=10,
+                    pfdr=PFDROptions(rho=1.0, dif_tol=1e-8, it_max=10_000))
+    res = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y),
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        la_l1=la_l1, positivity=True, opt=opt)
+    cv_r, rx_r, it_r, _ = _oracle.cp_ql1(
+        y, a, eu, ev, la, la_l1, 1, CP_difTol=1e-5, CP_itMax=10,
+        difTol=1e-8, itMax=10_000)
+    np.testing.assert_allclose(full_solution(res.cv, res.rx),
+                               full_solution(cv_r, rx_r), atol=2e-5)
+    assert full_solution(res.cv, res.rx).min() >= 0
+
+
+@pytest.mark.oracle
+def test_identity_fused_lasso_matches_reference():
+    """Identity operator: graph-TV denoising (l22 + d1 + l1)."""
+    eu, ev, la, _, _ = make_problem(seed=2)
+    v = 64
+    r = np.random.default_rng(5)
+    x_true = np.zeros((8, 8))
+    x_true[2:6, 2:6] = 1.0
+    y = x_true.ravel() + 0.1 * r.normal(size=v)
+    la_l1 = np.full(v, 0.05)
+    opt = CPOptions(dif_tol=1e-6, it_max=12,
+                    pfdr=PFDROptions(dif_tol=1e-9, it_max=10_000))
+    res = cp_quadratic_d1(
+        IdentityOp(), jnp.asarray(y),
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        la_l1=la_l1, opt=opt)
+    cv_r, rx_r, it_r, _ = _oracle.cp_ql1(
+        y, None, eu, ev, la, la_l1, 0, N=0, CP_difTol=1e-6, CP_itMax=12,
+        difTol=1e-9, itMax=10_000)
+    np.testing.assert_allclose(full_solution(res.cv, res.rx),
+                               full_solution(cv_r, rx_r), atol=2e-5)
+
+
+@pytest.mark.oracle
+def test_bounds_matches_reference():
+    eu, ev, la, a, y = make_problem(seed=3)
+    opt = CPOptions(dif_tol=1e-5, it_max=10,
+                    pfdr=PFDROptions(dif_tol=1e-8, it_max=10_000))
+    res = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y),
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        bounds=(-1.0, 1.0), opt=opt)
+    cv_r, rx_r, it_r = _oracle.cp_qbounds(
+        y, a, eu, ev, la, -1.0, 1.0, CP_difTol=1e-5, CP_itMax=10,
+        difTol=1e-8, itMax=10_000)
+    x = full_solution(res.cv, res.rx)
+    np.testing.assert_allclose(x, full_solution(cv_r, rx_r), atol=2e-5)
+    assert x.min() >= -1 - 1e-12 and x.max() <= 1 + 1e-12
+
+
+def test_objective_decreases_and_partition_compresses():
+    eu, ev, la, a, y = make_problem(seed=4)
+    la_l1 = np.full(a.shape[1], 0.02)
+    opt = CPOptions(dif_tol=1e-5, it_max=10,
+                    pfdr=PFDROptions(rho=1.5, dif_tol=1e-8, it_max=10_000))
+    res = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y),
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        la_l1=la_l1, opt=opt, monitor=True)
+    assert res.obj[-1] < res.obj[0]
+    # cut pursuit's whole point: far fewer components than vertices
+    assert len(res.rx) < a.shape[1] // 2
+    assert res.time.shape == (res.it + 1,)
+    assert res.dif.shape == (res.it,)
+
+
+def test_warm_restart_continues():
+    """The reference's warm restart is declared but untested
+    (``CP_PFDR_graph_quadratic_d1_l1.hpp:129``); here it is exercised:
+    restarting from a converged state with the same data stops immediately
+    at the same solution."""
+    eu, ev, la, a, y = make_problem(seed=6)
+    la_l1 = np.full(a.shape[1], 0.02)
+    opt = CPOptions(dif_tol=1e-5, it_max=10,
+                    pfdr=PFDROptions(dif_tol=1e-8, it_max=10_000))
+    g = GraphD1.create(eu, ev, la, dtype=jnp.float64)
+    res = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), g,
+                          la_l1=la_l1, opt=opt)
+    res2 = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), g,
+                           la_l1=la_l1, opt=opt, state=res.state)
+    np.testing.assert_allclose(full_solution(res2.cv, res2.rx),
+                               full_solution(res.cv, res.rx), atol=1e-6)
+    assert res2.it <= 2
