@@ -50,6 +50,16 @@ def _get_lib():
             np.ctypeslib.ndpointer(np.float64, flags="C"),
             np.ctypeslib.ndpointer(np.uint8, flags="C"),
         ]
+        lib.cp_steepest_cut_directed.restype = ctypes.c_int
+        lib.cp_steepest_cut_directed.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover - exercised only without g++
         warnings.warn(f"native min-cut unavailable ({e}); "
@@ -73,6 +83,25 @@ def min_cut(num_vertices: int, eu, ev, w, c) -> np.ndarray:
         lib.cp_steepest_cut(num_vertices, len(eu), eu, ev, w, c, side)
         return side
     return _min_cut_python(num_vertices, eu, ev, w, c)
+
+
+def min_cut_directed(num_vertices: int, eu, ev, w_uv, w_vu, c) -> np.ndarray:
+    """Directed variant: per edge, residual capacity ``w_uv`` on the arc
+    eu->ev and ``w_vu`` on ev->eu; an arc x->y is paid when x is in U and y
+    is not.  Used by the duplex two-layer ternary cut."""
+    eu = np.ascontiguousarray(eu, np.int32)
+    ev = np.ascontiguousarray(ev, np.int32)
+    w_uv = np.ascontiguousarray(w_uv, np.float64)
+    w_vu = np.ascontiguousarray(w_vu, np.float64)
+    c = np.ascontiguousarray(c, np.float64)
+    side = np.zeros(num_vertices, np.uint8)
+    lib = _get_lib()
+    if lib is not None:
+        lib.cp_steepest_cut_directed(num_vertices, len(eu), eu, ev,
+                                     w_uv, w_vu, c, side)
+        return side
+    raise NotImplementedError(
+        "directed min-cut requires the native solver (g++ unavailable)")
 
 
 def _min_cut_python(n, eu, ev, w, c):

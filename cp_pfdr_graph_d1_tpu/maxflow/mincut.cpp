@@ -43,11 +43,16 @@ struct Solver {
       : n(n_), head(n_, -1), excess(n_, 0.0), cap_sink(n_, 0.0),
         height(n_, 0), hcount(2 * n_ + 2, 0), in_queue(n_, 0) {}
 
-  void add_edge(int u, int v, double w) {
-    if (u == v || w <= 0) return;
+  void add_edge(int u, int v, double w) { add_edge2(u, v, w, w); }
+
+  // directed residual pair: capacity w_uv on arc u->v, w_vu on arc v->u
+  void add_edge2(int u, int v, double w_uv, double w_vu) {
+    if (u == v || (w_uv <= 0 && w_vu <= 0)) return;
     int a = static_cast<int>(to.size());
-    to.push_back(v); cap.push_back(w); nxt.push_back(head[u]); head[u] = a;
-    to.push_back(u); cap.push_back(w); nxt.push_back(head[v]); head[v] = a + 1;
+    to.push_back(v); cap.push_back(w_uv > 0 ? w_uv : 0);
+    nxt.push_back(head[u]); head[u] = a;
+    to.push_back(u); cap.push_back(w_vu > 0 ? w_vu : 0);
+    nxt.push_back(head[v]); head[v] = a + 1;
   }
 
   void enqueue(int v) {
@@ -168,26 +173,23 @@ struct Solver {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-/* Finds U minimizing sum_{U} c_v + sum_{cut e} w_e; writes side[v] = 1 for
- * v in U.  Infinite |c_v| values are clamped to (sum of finite magnitudes
- * + 1), which no finite cut can pay.  Returns the number of vertices in U. */
-int cp_steepest_cut(int V, int E, const int32_t *Eu, const int32_t *Ev,
-                    const double *w, const double *c, uint8_t *side) {
+double clamp_big(int V, int E, const double *wa, const double *wb,
+                 const double *c) {
   double big = 1.0;
-  for (int e = 0; e < E; ++e)
-    if (w[e] < 1e300) big += w[e] > 0 ? 2 * w[e] : 0;
+  for (int e = 0; e < E; ++e) {
+    if (wa[e] > 0 && wa[e] < 1e300) big += wa[e];
+    if (wb && wb[e] > 0 && wb[e] < 1e300) big += wb[e];
+  }
   for (int v = 0; v < V; ++v) {
     double a = c[v] < 0 ? -c[v] : c[v];
     if (a < 1e300) big += a;
   }
-  Solver s(V);
-  for (int e = 0; e < E; ++e) {
-    double we = w[e];
-    if (we > big) we = big;
-    s.add_edge(Eu[e], Ev[e], we);
-  }
+  return big;
+}
+
+int finish(Solver &s, int V, const double *c, double big, uint8_t *side) {
   for (int v = 0; v < V; ++v) {
     double cv = c[v];
     if (cv > big) cv = big;
@@ -203,6 +205,42 @@ int cp_steepest_cut(int V, int E, const int32_t *Eu, const int32_t *Ev,
     cnt += side[v];
   }
   return cnt;
+}
+
+}  // namespace
+
+extern "C" {
+
+/* Finds U minimizing sum_{U} c_v + sum_{cut e} w_e; writes side[v] = 1 for
+ * v in U.  Infinite |c_v| values are clamped to (sum of finite magnitudes
+ * + 1), which no finite cut can pay.  Returns the number of vertices in U. */
+int cp_steepest_cut(int V, int E, const int32_t *Eu, const int32_t *Ev,
+                    const double *w, const double *c, uint8_t *side) {
+  double big = clamp_big(V, E, w, w, c);
+  Solver s(V);
+  for (int e = 0; e < E; ++e) {
+    double we = w[e];
+    if (we > big) we = big;
+    s.add_edge(Eu[e], Ev[e], we);
+  }
+  return finish(s, V, c, big, side);
+}
+
+/* Directed variant: per edge e, capacity w_uv[e] on the residual arc
+ * Eu->Ev and w_vu[e] on Ev->Eu.  An arc (x -> y) is paid when x is in U
+ * and y is not.  Used by the duplex two-layer ternary cut. */
+int cp_steepest_cut_directed(int V, int E, const int32_t *Eu,
+                             const int32_t *Ev, const double *w_uv,
+                             const double *w_vu, const double *c,
+                             uint8_t *side) {
+  double big = clamp_big(V, E, w_uv, w_vu, c);
+  Solver s(V);
+  for (int e = 0; e < E; ++e) {
+    double a = w_uv[e] > big ? big : w_uv[e];
+    double b = w_vu[e] > big ? big : w_vu[e];
+    s.add_edge2(Eu[e], Ev[e], a, b);
+  }
+  return finish(s, V, c, big, side);
 }
 
 }  // extern "C"

@@ -185,6 +185,42 @@ def _steepest_cut(dfs, x_full, eu, ev, la_d1, active, la_l1, positivity,
     return new_active, len(idx)
 
 
+def _duplex_cut(dfs, x_full, eu, ev, la_d1, active, la_l1, positivity):
+    """Single two-layer ternary cut replacing the two directional cuts
+    (``CP_PFDR_graph_quadratic_d1_l1_duplex.cpp:468-549``): layer-1/layer-2
+    nodes carry the downward/upward directional derivatives, an inter-layer
+    arc of capacity ``m = max(0, -DfS_up, DfS_do)`` encodes the ternary
+    direction {-1, 0, +1}; d1 capacities are duplicated on both layers and
+    an edge activates when its endpoints separate on either layer."""
+    num_v = len(dfs)
+    zero = x_full == 0
+    if la_l1 is not None:
+        up = dfs + np.where(zero, la_l1, 0.0)
+        do = dfs - np.where(zero, la_l1, 0.0)
+    else:
+        up = dfs.copy()
+        do = dfs.copy()
+    if positivity:
+        do = np.where(zero, -np.inf, do)
+    m = np.maximum(0.0, np.maximum(-up, do))
+    c = np.concatenate([-do + m, -(up + m)])
+    inact = ~active
+    ieu, iev, ila = eu[inact], ev[inact], la_d1[inact]
+    rng_v = np.arange(num_v, dtype=np.int32)
+    eeu = np.concatenate([ieu, ieu + num_v, rng_v])
+    eev = np.concatenate([iev, iev + num_v, rng_v + num_v])
+    # the reference's BK arc v1->v2 (cap m) is paid when v1 keeps and v2
+    # moves; in our U-membership convention that is the arc v2->v1
+    w_uv = np.concatenate([ila, ila, np.zeros(num_v)])
+    w_vu = np.concatenate([ila, ila, m])
+    side = maxflow.min_cut_directed(2 * num_v, eeu, eev, w_uv, w_vu, c)
+    sep = (side[ieu] != side[iev]) | (side[ieu + num_v] != side[iev + num_v])
+    new_active = active.copy()
+    idx = np.nonzero(inact)[0][sep]
+    new_active[idx] = True
+    return new_active, len(idx)
+
+
 def _d1_sign_terms(dfs, x_full, eu, ev, la_d1, active):
     """Adds the differentiable d1 contribution of active edges
     (``CP_PFDR_graph_quadratic_d1_l1.cpp:376-391``), in place."""
@@ -203,7 +239,7 @@ def _d1_sign_terms(dfs, x_full, eu, ev, la_d1, active):
 
 def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                     la_l1=None, positivity: bool = False,
-                    bounds=None,
+                    bounds=None, duplex: bool = False,
                     opt: CPOptions = CPOptions(),
                     monitor: bool = False,
                     state: Optional[CPState] = None) -> CPResult:
@@ -297,9 +333,13 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         _d1_sign_terms(dfs, x_full, eu, ev, la_d1, active)
         if la_l1 is not None:
             dfs += np.sign(x_full) * la_l1
-        active, n_new = _steepest_cut(
-            dfs, x_full, eu, ev, la_d1, active, la_l1, positivity, lo, hi,
-            differentiable)
+        if duplex and not differentiable and bounds is None:
+            active, n_new = _duplex_cut(
+                dfs, x_full, eu, ev, la_d1, active, la_l1, positivity)
+        else:
+            active, n_new = _steepest_cut(
+                dfs, x_full, eu, ev, la_d1, active, la_l1, positivity, lo,
+                hi, differentiable)
 
         if n_new == 0:  # nothing to recompute (:556-563)
             difs.append(0.0)

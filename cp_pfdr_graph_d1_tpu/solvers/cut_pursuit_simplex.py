@@ -1,0 +1,252 @@
+"""Cut-pursuit outer solver for separable-loss + d1 + simplex labeling.
+
+Minimizes ``sum_v f_al(p_v; q_v) + sum_e la_d1 ||p_u - p_v||_1`` over
+per-vertex probability vectors, by alternating a sequence of K-1
+alpha-expansion-style binary cuts (the steepest ternary descent search of
+``/root/reference/src/CP_PFDR_graph_loss_d1_simplex.cpp:522-618``) with
+multi-label PFDR solves of the component-contracted problem (:643-780).
+
+The binary energies of each expansion cut use the Kolmogorov-Zabih
+decomposition (:563-595); here they are re-expressed in the symmetric
+form consumed by the native min-cut (unary costs + symmetric edge weights),
+which is algebraically identical.
+"""
+from __future__ import annotations
+
+import time as _time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import maxflow
+from ..config import CPOptions
+from ..graph import GraphD1
+from .cut_pursuit_common import (build_reduced_graph, bucket,
+                                 connected_components, machine_eps,
+                                 pad_reduced_graph)
+from .pfdr_simplex import (d1_objective, loss_objective,
+                           pfdr_loss_d1_simplex)
+
+
+class CPSimplexState(NamedTuple):
+    active: np.ndarray
+    cv: np.ndarray
+    rp: np.ndarray       # [rV, K]
+
+
+class CPSimplexResult(NamedTuple):
+    cv: np.ndarray
+    rp: np.ndarray       # [rV, K]
+    it: int
+    time: np.ndarray
+    obj: np.ndarray
+    dif: np.ndarray
+    state: CPSimplexState
+
+
+def _loss_grad_np(al, p_full, q, la_f=None):
+    """Host-side loss gradient (``CP_PFDR_graph_loss_d1_simplex.cpp:
+    327-354``); la_f is always None at the full-problem level."""
+    k = q.shape[1]
+    if al == 0.0:
+        return -q.copy()
+    if al == 1.0:
+        return p_full - q
+    al_k = al / k
+    al_1 = 1.0 - al
+    return -(al_k + al_1 * q) / (al_k / al_1 + p_full)
+
+
+def _alpha_expansion_cuts(dfs, rdi, cv, eu, ev, la_d1, active, eps):
+    """Runs the K-1 binary expansion cuts; returns the per-vertex final
+    descent counters ``djv`` (:522-606)."""
+    num_v, k = dfs.shape
+    djv = np.zeros(num_v, np.int32)
+    # only inactive edges carry capacity; active ones get zero (:563-566)
+    inact = np.nonzero(~active)[0]
+    ieu, iev, ila = eu[inact], ev[inact], la_d1[inact]
+    i_of_v = rdi[cv]  # confident label of each vertex's component
+    rows = np.arange(num_v)
+    dfs_i = dfs[rows, i_of_v]
+    for n in range(1, k):
+        j_of_v = np.where(n > i_of_v, n, n - 1)
+        dfs_j = dfs[rows, j_of_v]
+        cur = np.where(djv > i_of_v, djv, np.maximum(djv - 1, 0))
+        dfs_cur = dfs[rows, cur]
+        theta = np.where(
+            djv == 0, dfs_j - dfs_i,
+            np.where(djv == n, 0.0, dfs_j - dfs_cur))
+        # pairwise: equal current directions -> symmetric 2*la; different ->
+        # la with -la unary credits on both endpoints (KZ-equivalent)
+        same = djv[ieu] == djv[iev]
+        w = np.where(same, 2.0 * ila, ila)
+        credit = np.where(same, 0.0, ila)
+        np.subtract.at(theta, ieu, credit)
+        np.subtract.at(theta, iev, credit)
+        side = maxflow.min_cut(num_v, ieu, iev, w, theta)
+        djv[side.astype(bool)] = n
+    return djv
+
+
+def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
+                       opt: CPOptions = CPOptions(),
+                       monitor: bool = False,
+                       state: Optional[CPSimplexState] = None
+                       ) -> CPSimplexResult:
+    """Multi-label cut-pursuit solve.
+
+    Args:
+      graph: the d1 graph.
+      q: [V, K] observations (vertex-major).
+      al: loss selector — 0 linear, 1 quadratic, in ]0,1[ smoothed-KL.
+      opt: outer options; ``opt.dif_tol >= 1`` switches the stopping
+        criterion to the number of changed maximum-likelihood labels.
+
+    Returns component labels and [rV, K] component distributions
+    (full solution ``p = rp[cv]``).
+    """
+    t0 = _time.monotonic()
+    eu = np.asarray(graph.eu)
+    ev = np.asarray(graph.ev)
+    la_d1 = np.asarray(graph.la_d1)
+    q = np.asarray(q)
+    num_v, k = q.shape
+    num_e = graph.num_edges
+    dtype = q.dtype
+    label_mode = opt.dif_tol >= 1.0
+
+    tol_scale = opt.dif_tol / num_v if label_mode else opt.dif_tol
+    ptol = opt.pfdr.dif_tol / num_v if opt.pfdr.dif_tol >= 1 \
+        else opt.pfdr.dif_tol
+    eps = machine_eps(dtype, min(tol_scale, ptol))
+
+    # -- initialization: unisimplicial solution (:66-148) -------------------
+    if state is None:
+        qsum = q.sum(axis=0)
+        if al == 0.0:
+            rp = np.zeros((1, k), dtype)
+            rp[0, np.argmax(qsum)] = 1.0
+        else:
+            rp = (qsum / num_v)[None, :].astype(dtype)
+        active = np.zeros(num_e, bool)
+        cv = np.zeros(num_v, np.int32)
+    else:
+        active = state.active.copy()
+        cv = state.cv.copy()
+        rp = state.rp.copy()
+
+    times = [0.0]
+    objs = []
+    difs = []
+    q_dev = jnp.asarray(q)
+
+    def objective(rp_, cv_):
+        p_full = jnp.asarray(rp_[cv_])
+        return float(loss_objective(al, p_full, q_dev, None)
+                     + d1_objective(graph, p_full))
+
+    if monitor:
+        objs.append(objective(rp, cv))
+
+    prev_labels = np.argmax(rp, axis=1)[cv]
+    prev_p_full = rp[cv]
+    it = 0
+    dif = max(opt.dif_tol, 1.0)
+    num_comp = rp.shape[0]
+
+    while it < opt.it_max and dif >= opt.dif_tol:
+        p_full = rp[cv]
+
+        # -- gradient + active-edge d1 signs (:327-377) --------------------
+        dfs = _loss_grad_np(al, p_full, q)
+        ae = np.nonzero(active)[0]
+        if len(ae):
+            d = p_full[eu[ae]] - p_full[ev[ae]]
+            s = np.where(d > eps, 1.0, np.where(d < -eps, -1.0, 0.0))
+            s = s * la_d1[ae][:, None]
+            np.add.at(dfs, eu[ae], s)
+            np.add.at(dfs, ev[ae], -s)
+
+        # -- alpha-expansion cuts (:522-606) -------------------------------
+        rdi = np.argmax(rp, axis=1).astype(np.int32)
+        djv = _alpha_expansion_cuts(dfs, rdi, cv, eu, ev, la_d1, active,
+                                    eps)
+        inact = ~active
+        sep = inact & (djv[eu] != djv[ev])
+        n_new = int(sep.sum())
+        active |= sep
+
+        if n_new == 0:
+            difs.append(0.0)
+            dif = 0.0
+            it += 1
+            times.append(_time.monotonic() - t0)
+            if monitor:
+                objs.append(objs[-1] if objs else float("nan"))
+            continue
+
+        # -- contraction (:643-731) ----------------------------------------
+        num_comp, cv = connected_components(num_v, eu, ev, ~active)
+        rg = build_reduced_graph(cv, num_comp, eu, ev, la_d1, active, eps)
+        rv_cap = bucket(num_comp)
+        re_cap = bucket(len(rg.eu))
+        reu, rev, rla = pad_reduced_graph(rg, rv_cap, re_cap)
+        rgraph = GraphD1.create(reu, rev, rla, num_vertices=rv_cap,
+                                dtype=q_dev.dtype)
+
+        # -- reduced observations (:733-766) -------------------------------
+        qsum = np.zeros((rv_cap, k), dtype)
+        np.add.at(qsum, cv, q)
+        sizes = np.bincount(cv, minlength=rv_cap).astype(dtype)
+        if al == 0.0:
+            rq = qsum
+            rp0 = np.zeros((rv_cap, k), dtype)
+            rp0[np.arange(rv_cap), np.argmax(qsum, axis=1)] = 1.0
+            rp0[num_comp:] = 1.0 / k  # inert uniform rows on padding
+            rla_f = None
+        else:
+            safe = np.maximum(sizes, 1)[:, None]
+            rq = qsum / safe
+            rp0 = rq.copy()
+            rp0[num_comp:] = 1.0 / k
+            rq[num_comp:] = 1.0 / k
+            rla_f = jnp.asarray(np.maximum(sizes, 0))
+
+        # -- reduced PFDR solve (:773-780) ---------------------------------
+        res = pfdr_loss_d1_simplex(
+            rgraph, jnp.asarray(rq), al=al, la_f=rla_f,
+            p0=jnp.asarray(rp0), opt=opt.pfdr)
+        rp = np.array(jax.device_get(res.p), dtype)[:num_comp]
+
+        # -- merge almost-equal components (:782-804) ----------------------
+        p_full = rp[cv]
+        ae = np.nonzero(active)[0]
+        if len(ae):
+            d = np.abs(p_full[eu[ae]] - p_full[ev[ae]]).max(axis=1)
+            active[ae[d <= eps]] = False
+
+        # -- evolution + objective (:806-917) ------------------------------
+        if label_mode:
+            labels = np.argmax(rp, axis=1)[cv]
+            dif = float((labels != prev_labels).sum())
+            prev_labels = labels
+        else:
+            dif = float(np.abs(p_full - prev_p_full).sum()) / num_v
+            prev_p_full = p_full
+        difs.append(dif)
+        it += 1
+        times.append(_time.monotonic() - t0)
+        if monitor:
+            objs.append(objective(rp, cv))
+        if opt.verbose:
+            print(f"CP-simplex it {it}: {num_comp} components, "
+                  f"{int(active.sum())} active edges, dif {dif:.3g}")
+
+    return CPSimplexResult(
+        cv=cv, rp=rp, it=it,
+        time=np.asarray(times),
+        obj=np.asarray(objs) if monitor else np.zeros(0, dtype),
+        dif=np.asarray(difs),
+        state=CPSimplexState(active=active, cv=cv, rp=rp))

@@ -148,3 +148,36 @@ def test_warm_restart_continues():
     np.testing.assert_allclose(full_solution(res2.cv, res2.rx),
                                full_solution(res.cv, res.rx), atol=1e-6)
     assert res2.it <= 2
+
+
+@pytest.mark.oracle
+def test_duplex_matches_reference():
+    """Duplex two-layer ternary cut
+    (``CP_PFDR_graph_quadratic_d1_l1_duplex.cpp:237``)."""
+    eu, ev, la, a, y = make_problem(seed=8)
+    la_l1 = np.full(a.shape[1], 0.02)
+    opt = CPOptions(dif_tol=1e-5, it_max=12,
+                    pfdr=PFDROptions(rho=1.5, dif_tol=1e-8, it_max=10_000))
+    res = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y),
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        la_l1=la_l1, duplex=True, opt=opt)
+    cv_r, rx_r, it_r, _ = _oracle.cp_ql1(
+        y, a, eu, ev, la, la_l1, 0, CP_difTol=1e-5, CP_itMax=12, rho=1.5,
+        difTol=1e-8, itMax=10_000, duplex=True)
+    np.testing.assert_allclose(full_solution(res.cv, res.rx),
+                               full_solution(cv_r, rx_r), atol=2e-5)
+
+
+def test_duplex_agrees_with_two_cuts():
+    eu, ev, la, a, y = make_problem(seed=9)
+    la_l1 = np.full(a.shape[1], 0.02)
+    opt = CPOptions(dif_tol=1e-5, it_max=12,
+                    pfdr=PFDROptions(rho=1.5, dif_tol=1e-8, it_max=10_000))
+    g = GraphD1.create(eu, ev, la, dtype=jnp.float64)
+    r1 = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), g,
+                         la_l1=la_l1, opt=opt)
+    r2 = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), g,
+                         la_l1=la_l1, duplex=True, opt=opt)
+    np.testing.assert_allclose(full_solution(r1.cv, r1.rx),
+                               full_solution(r2.cv, r2.rx), atol=1e-4)
