@@ -54,7 +54,8 @@ class GraphD1:
         (D = max degree; sentinel 2E selects a zero pad).
     """
 
-    def __init__(self, eu, ev, la_d1, num_vertices: int, incidence=None):
+    def __init__(self, eu, ev, la_d1, num_vertices: int, incidence=None,
+                 axis_name=None):
         self.eu = eu
         self.ev = ev
         self.la_d1 = la_d1
@@ -64,6 +65,9 @@ class GraphD1:
             incidence = jnp.asarray(_build_incidence(
                 np.asarray(eu), np.asarray(ev), self.num_vertices))
         self.incidence = incidence
+        # when set, this graph holds one shard of an edge-partitioned graph
+        # inside shard_map: edge->vertex reductions psum over this mesh axis
+        self.axis_name = axis_name
 
     @classmethod
     def create(cls, eu, ev, la_d1, num_vertices: Optional[int] = None,
@@ -104,7 +108,18 @@ class GraphD1:
         vals = jnp.concatenate(
             [vals_u, vals_v, jnp.zeros(pad_shape, vals_u.dtype)], axis=0)
         gathered = jnp.take(vals, self.incidence, axis=0)  # [V, D, ...]
-        return jnp.sum(gathered, axis=1)
+        out = jnp.sum(gathered, axis=1)
+        if self.axis_name is not None:
+            out = jax.lax.psum(out, self.axis_name)
+        return out
+
+    def edge_allsum(self, vals):
+        """Global sum of a per-edge quantity (psum across shards when this
+        graph is one shard of an edge partition)."""
+        out = jnp.sum(vals)
+        if self.axis_name is not None:
+            out = jax.lax.psum(out, self.axis_name)
+        return out
 
     def vertex_degree_weighted(self, edge_w):
         """``out[v] = sum of edge_w over edges incident to v`` (self-loops
@@ -115,9 +130,10 @@ class GraphD1:
 
     def tree_flatten(self):
         children = (self.eu, self.ev, self.la_d1, self.incidence)
-        return children, self.num_vertices
+        return children, (self.num_vertices, self.axis_name)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         eu, ev, la_d1, incidence = children
-        return cls(eu, ev, la_d1, aux, incidence)
+        num_vertices, axis_name = aux
+        return cls(eu, ev, la_d1, num_vertices, incidence, axis_name)

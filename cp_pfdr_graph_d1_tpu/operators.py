@@ -94,7 +94,7 @@ class DenseOp(QuadOp):
         return jnp.sum(self.a * self.a, axis=0).astype(dtype)
 
     def grad(self, x, obs):
-        return -(self.a.T @ self.residual(x, obs))
+        return -self.apply_t(self.residual(x, obs))
 
     def quad_obj(self, x, obs):
         r = self.residual(x, obs)

@@ -1,0 +1,6 @@
+from .dp import (DistDenseOp, ShardedQuadraticProblem,
+                 pfdr_quadratic_d1_sharded, shard_quadratic_problem)
+from .mesh import make_mesh
+
+__all__ = ["DistDenseOp", "ShardedQuadraticProblem", "make_mesh",
+           "pfdr_quadratic_d1_sharded", "shard_quadratic_problem"]

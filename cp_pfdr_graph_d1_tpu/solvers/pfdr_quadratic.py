@@ -204,7 +204,8 @@ def _full_obj(op: QuadOp, x, obs, graph: GraphD1, la_l1, vprox: VertexProx):
     (``PFDR_graph_quadratic_d1_l1.cpp:388-422``; the reference's stale-index
     bug at :417 is not reproduced)."""
     obj = op.quad_obj(x, obs)
-    obj = obj + jnp.sum(graph.la_d1 * jnp.abs(x[graph.eu] - x[graph.ev]))
+    obj = obj + graph.edge_allsum(
+        graph.la_d1 * jnp.abs(x[graph.eu] - x[graph.ev]))
     if la_l1 is not None and vprox.kind == "l1":
         obj = obj + jnp.sum(la_l1 * jnp.abs(x))
     return obj
@@ -270,7 +271,7 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         grad, quad = _grad_and_obj(op, s.x, obs)
         obj_trace = s.obj_trace
         if monitor:
-            obj = quad + jnp.sum(
+            obj = quad + graph.edge_allsum(
                 graph.la_d1 * jnp.abs(s.x[eu] - s.x[ev]))
             if la_l1 is not None:
                 obj = obj + jnp.sum(la_l1 * jnp.abs(s.x))

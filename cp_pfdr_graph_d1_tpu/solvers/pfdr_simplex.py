@@ -133,7 +133,7 @@ def loss_objective(al: float, p, q, la_f):
 
 def d1_objective(graph: GraphD1, p):
     du = jnp.abs(p[graph.eu] - p[graph.ev])
-    return jnp.sum(graph.la_d1 * jnp.sum(du, axis=-1))
+    return graph.edge_allsum(graph.la_d1 * jnp.sum(du, axis=-1))
 
 
 def _precondition_simplex(al, la_f, graph: GraphD1, q, p, rho,

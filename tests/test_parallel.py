@@ -1,0 +1,69 @@
+"""Multi-device PFDR on the virtual 8-device CPU mesh: the sharded solve
+must match the single-device solve (same iterations, same solution)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cp_pfdr_graph_d1_tpu import (DenseOp, GraphD1, PFDROptions, VertexProx)
+from cp_pfdr_graph_d1_tpu.parallel import (make_mesh,
+                                           pfdr_quadratic_d1_sharded,
+                                           shard_quadratic_problem)
+from cp_pfdr_graph_d1_tpu.solvers.pfdr_quadratic import pfdr_quadratic_d1
+
+from .conftest import make_grid_graph
+
+
+def make_problem(v=100, n=48, seed=0):
+    eu, ev, la = make_grid_graph(10, v // 10, seed=seed)
+    r = np.random.default_rng(seed + 500)
+    a = r.normal(size=(n, v)) / np.sqrt(n)
+    x_true = np.zeros(v)
+    x_true[r.integers(0, v, 8)] = r.normal(size=8) * 2
+    y = a @ x_true + 0.05 * r.normal(size=n)
+    return eu, ev, 0.1 * la, a, y
+
+
+@pytest.mark.parametrize("num_shards", [2, 8])
+def test_sharded_matches_single_device(num_shards):
+    assert jax.device_count() >= num_shards
+    eu, ev, la, a, y = make_problem()
+    v = a.shape[1]
+    la_l1 = np.full(v, 0.03)
+    lip = float(np.linalg.svd(a, compute_uv=False)[0] ** 2)
+    opt = PFDROptions(rho=1.2, dif_tol=1e-7, it_max=600)
+    vprox = VertexProx(kind="l1")
+
+    base = pfdr_quadratic_d1(
+        DenseOp(jnp.asarray(a, jnp.float64)), jnp.asarray(y, jnp.float64),
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        la_l1=jnp.asarray(la_l1), vprox=vprox, lipsch=lip, opt=opt)
+
+    mesh = make_mesh(num_shards)
+    prob = shard_quadratic_problem(a, y, eu, ev, la, num_shards,
+                                   dtype=np.float64)
+    res = pfdr_quadratic_d1_sharded(prob, mesh, la_l1=la_l1, vprox=vprox,
+                                    lipsch=lip, opt=opt)
+    assert int(res.it) == int(base.it)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(base.x),
+                               atol=1e-9)
+
+
+def test_sharded_padding_inert():
+    """Shard counts that do not divide N or E exercise the zero padding."""
+    eu, ev, la, a, y = make_problem(seed=1)
+    v = a.shape[1]
+    lip = float(np.linalg.svd(a, compute_uv=False)[0] ** 2)
+    opt = PFDROptions(dif_tol=1e-7, it_max=400)
+    base = pfdr_quadratic_d1(
+        DenseOp(jnp.asarray(a, jnp.float64)), jnp.asarray(y, jnp.float64),
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        la_l1=jnp.full((v,), 0.03), vprox=VertexProx(kind="l1"),
+        lipsch=lip, opt=opt)
+    mesh = make_mesh(7)  # 48 % 7 != 0 and E % 7 != 0
+    prob = shard_quadratic_problem(a, y, eu, ev, la, 7, dtype=np.float64)
+    res = pfdr_quadratic_d1_sharded(prob, mesh, la_l1=np.full(v, 0.03),
+                                    vprox=VertexProx(kind="l1"),
+                                    lipsch=lip, opt=opt)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(base.x),
+                               atol=1e-9)
