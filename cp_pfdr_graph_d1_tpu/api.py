@@ -76,6 +76,10 @@ def _graph(Eu, Ev, La_d1, num_vertices, dtype):
 
 
 def _dtype_of(*arrays):
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        return jnp.float32  # float64 would be silently truncated anyway
     for a in arrays:
         a = np.asarray(a)
         if a.dtype == np.float64:
