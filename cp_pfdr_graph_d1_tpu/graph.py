@@ -95,6 +95,11 @@ class GraphD1:
         """Per-edge endpoint values ``(x[eu], x[ev])``; x is [V] or [V, K]."""
         return x[self.eu], x[self.ev]
 
+    def gather_endpoints(self, x):
+        """Per-edge endpoint values; structured subclasses override this
+        with gather-free implementations (shifts/rolls)."""
+        return x[self.eu], x[self.ev]
+
     def edge_to_vertex_sum(self, vals_u, vals_v):
         """Accumulates per-edge endpoint contributions into vertices.
 

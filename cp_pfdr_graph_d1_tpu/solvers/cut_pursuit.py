@@ -351,7 +351,9 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
             continue
 
         # -- contraction (:568-661) ----------------------------------------
-        num_comp, cv = connected_components(num_v, eu, ev, ~active)
+        # zero-weight edges (e.g. stencil padding) never join components
+        num_comp, cv = connected_components(num_v, eu, ev,
+                                            ~active & (la_d1 > 0))
         rg = build_reduced_graph(cv, num_comp, eu, ev, la_d1, active, eps)
         rv_cap = bucket(num_comp)
         re_cap = bucket(len(rg.eu))

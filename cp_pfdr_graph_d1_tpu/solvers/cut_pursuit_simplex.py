@@ -188,7 +188,8 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
             continue
 
         # -- contraction (:643-731) ----------------------------------------
-        num_comp, cv = connected_components(num_v, eu, ev, ~active)
+        num_comp, cv = connected_components(num_v, eu, ev,
+                                            ~active & (la_d1 > 0))
         rg = build_reduced_graph(cv, num_comp, eu, ev, la_d1, active, eps)
         rv_cap = bucket(num_comp)
         re_cap = bucket(len(rg.eu))

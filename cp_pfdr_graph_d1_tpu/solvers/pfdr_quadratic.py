@@ -114,15 +114,17 @@ def _finalize_precond(graph: GraphD1, h, wu_raw, wv_raw, la_l1, l1_h_term,
     aux = graph.vertex_degree_weighted(wu_raw)  # == sum of w at both ends
     h = h + aux
     inv_aux = _safe_div(1.0, aux, 0.0)
-    wu = wu_raw * inv_aux[graph.eu]
-    wv = wv_raw * inv_aux[graph.ev]
+    inv_u, inv_v = graph.gather_endpoints(inv_aux)
+    wu = wu_raw * inv_u
+    wv = wv_raw * inv_v
     if la_l1 is not None:
         h = h + l1_h_term
     ga = _safe_div(1.0, h, 1.0)
     ga = _metric_cap(ga, rho, lipsch, ltype)
 
-    w_d1u = wu / ga[graph.eu]
-    w_d1v = wv / ga[graph.ev]
+    gau, gav = graph.gather_endpoints(ga)
+    w_d1u = wu / gau
+    w_d1v = wv / gav
     s = w_d1u + w_d1v
     prod = w_d1u * w_d1v
     th_d1 = jnp.where(prod > 0, graph.la_d1 * _safe_div(s, prod), 0.0)
@@ -157,16 +159,17 @@ def recondition(op: QuadOp, obs, graph: GraphD1, la_l1, rho, cond_min,
                 lipsch, ltype, x, grad, zu, zv, pre: Precond):
     """Reconditioning at the current iterate, preserving subgradients
     (``PFDR_graph_quadratic_d1_l1.cpp:89-99,159-250`` with ``P != NULL``)."""
-    eu, ev = graph.eu, graph.ev
     # auxiliary subgradients in the old metric (:89-99)
-    sub_u = (pre.wu / pre.ga[eu]) * (x[eu] - pre.ga[eu] * grad[eu] - zu)
-    sub_v = (pre.wv / pre.ga[ev]) * (x[ev] - pre.ga[ev] * grad[ev] - zv)
+    xu, xv = graph.gather_endpoints(x)
+    gau, gav = graph.gather_endpoints(pre.ga)
+    gu, gv = graph.gather_endpoints(grad)
+    sub_u = (pre.wu / gau) * (xu - gau * gu - zu)
+    sub_v = (pre.wv / gav) * (xv - gav * gv - zv)
 
     v = graph.num_vertices
     h = op.gram_diag(v, obs.dtype)
     c = _amplitude_scale(x, inverse=False)
     # d1 weights from local finite differences (:167-191)
-    xu, xv = x[eu], x[ev]
     amp = jnp.maximum(jnp.maximum(jnp.abs(xu), jnp.abs(xv)), c)
     d = jnp.maximum(jnp.abs(xu - xv), cond_min * amp)
     w_raw = _safe_div(graph.la_d1, d)
@@ -177,8 +180,9 @@ def recondition(op: QuadOp, obs, graph: GraphD1, la_l1, rho, cond_min,
     new = _finalize_precond(graph, h, w_raw, w_raw, la_l1, l1_h,
                             rho, lipsch, ltype)
     # re-express auxiliary variables in the new metric (:241-250)
-    zu = x[eu] - new.ga[eu] * (grad[eu] + _safe_div(sub_u, new.wu))
-    zv = x[ev] - new.ga[ev] * (grad[ev] + _safe_div(sub_v, new.wv))
+    ngau, ngav = graph.gather_endpoints(new.ga)
+    zu = xu - ngau * (gu + _safe_div(sub_u, new.wu))
+    zv = xv - ngav * (gv + _safe_div(sub_v, new.wv))
     return new, zu, zv
 
 
@@ -204,8 +208,8 @@ def _full_obj(op: QuadOp, x, obs, graph: GraphD1, la_l1, vprox: VertexProx):
     (``PFDR_graph_quadratic_d1_l1.cpp:388-422``; the reference's stale-index
     bug at :417 is not reproduced)."""
     obj = op.quad_obj(x, obs)
-    obj = obj + graph.edge_allsum(
-        graph.la_d1 * jnp.abs(x[graph.eu] - x[graph.ev]))
+    xu, xv = graph.gather_endpoints(x)
+    obj = obj + graph.edge_allsum(graph.la_d1 * jnp.abs(xu - xv))
     if la_l1 is not None and vprox.kind == "l1":
         obj = obj + jnp.sum(la_l1 * jnp.abs(x))
     return obj
@@ -250,7 +254,7 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     rho = jnp.asarray(opt.rho, dtype)
 
     pre = initial_precondition(op, obs, graph, la_l1, opt.rho, lipsch, ltype)
-    zu, zv = x0[graph.eu], x0[graph.ev]
+    zu, zv = graph.gather_endpoints(x0)
 
     n_trace = opt.it_max + 1 if monitor else 1
     state = PFDRState(
@@ -262,8 +266,6 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         dif_trace=jnp.zeros((n_trace,), dtype),
     )
 
-    eu, ev = graph.eu, graph.ev
-
     def cond(s: PFDRState):
         return jnp.logical_and(s.it < opt.it_max, s.dif >= dif_tol2)
 
@@ -271,8 +273,9 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         grad, quad = _grad_and_obj(op, s.x, obs)
         obj_trace = s.obj_trace
         if monitor:
+            oxu, oxv = graph.gather_endpoints(s.x)
             obj = quad + graph.edge_allsum(
-                graph.la_d1 * jnp.abs(s.x[eu] - s.x[ev]))
+                graph.la_d1 * jnp.abs(oxu - oxv))
             if la_l1 is not None:
                 obj = obj + jnp.sum(la_l1 * jnp.abs(s.x))
             obj_trace = obj_trace.at[s.it].set(obj)
@@ -295,11 +298,12 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         # forward step P = 2 X - Ga grad (:463-464)
         p = 2.0 * s.x - pre.ga * grad
         # per-edge d1 prox on auxiliary pairs, with relaxation rho (:466-489)
-        au = p[eu] - zu
-        av = p[ev] - zv
+        pxu, pxv = graph.gather_endpoints(jnp.stack([p, s.x], axis=-1))
+        au = pxu[..., 0] - zu
+        av = pxv[..., 0] - zv
         pu, pv = d1_pair_prox(au, av, pre.w_d1u, pre.w_d1v, pre.th_d1)
-        zu = zu + rho * (pu - s.x[eu])
-        zv = zv + rho * (pv - s.x[ev])
+        zu = zu + rho * (pu - pxu[..., 1])
+        zv = zv + rho * (pv - pxv[..., 1])
         # weighted average back to the iterate (:491-497)
         x = graph.edge_to_vertex_sum(pre.wu * zu, pre.wv * zv)
         # vertex prox (:499-512)

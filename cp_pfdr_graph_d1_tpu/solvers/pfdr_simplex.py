@@ -132,7 +132,8 @@ def loss_objective(al: float, p, q, la_f):
 
 
 def d1_objective(graph: GraphD1, p):
-    du = jnp.abs(p[graph.eu] - p[graph.ev])
+    pu, pv = graph.gather_endpoints(p)
+    du = jnp.abs(pu - pv)
     return graph.edge_allsum(graph.la_d1 * jnp.sum(du, axis=-1))
 
 
@@ -143,8 +144,9 @@ def _precondition_simplex(al, la_f, graph: GraphD1, q, p, rho,
     h = _loss_hessian(al, p, q, la_f)
     aux = graph.edge_to_vertex_sum(edge_w_raw, edge_w_raw)
     inv_aux = _safe_div(1.0, aux)
-    wu = edge_w_raw * inv_aux[graph.eu]
-    wv = edge_w_raw * inv_aux[graph.ev]
+    inv_u, inv_v = graph.gather_endpoints(inv_aux)
+    wu = edge_w_raw * inv_u
+    wv = edge_w_raw * inv_v
     if al == 0.0:
         ga = inv_aux
     else:
@@ -159,8 +161,9 @@ def _precondition_simplex(al, la_f, graph: GraphD1, q, p, rho,
         w_d1v = jnp.full_like(wv, 0.5)
         th_d1 = jnp.full_like(wu, 2.0)
     else:
-        w_d1u = wu / ga[graph.eu]
-        w_d1v = wv / ga[graph.ev]
+        gau, gav = graph.gather_endpoints(ga)
+        w_d1u = wu / gau
+        w_d1v = wv / gav
         s = w_d1u + w_d1v
         prod = w_d1u * w_d1v
         th_d1 = jnp.where(
@@ -182,17 +185,18 @@ def initial_precondition_simplex(al, la_f, graph, q, p, rho):
 def recondition_simplex(al, la_f, graph, q, p, rho, cond_min, zu, zv,
                         pre: SimplexPrecond):
     """Reconditioning preserving subgradients (:92-157,337-358)."""
-    eu, ev = graph.eu, graph.ev
     g = _loss_grad(al, p, q, la_f)
-    pu, pv = p[eu], p[ev]
-    gau, gav = pre.ga[eu], pre.ga[ev]
-    sub_u = (pre.wu / gau) * (pu - gau * g[eu] - zu)
-    sub_v = (pre.wv / gav) * (pv - gav * g[ev] - zv)
+    pu, pv = graph.gather_endpoints(p)
+    gau, gav = graph.gather_endpoints(pre.ga)
+    gu, gv = graph.gather_endpoints(g)
+    sub_u = (pre.wu / gau) * (pu - gau * gu - zu)
+    sub_v = (pre.wv / gav) * (pv - gav * gv - zv)
     d = jnp.maximum(jnp.abs(pu - pv), cond_min)
     w_raw = graph.la_d1[:, None] / d
     new = _precondition_simplex(al, la_f, graph, q, p, rho, w_raw)
-    zu = pu - new.ga[eu] * (g[eu] + _safe_div(sub_u, new.wu))
-    zv = pv - new.ga[ev] * (g[ev] + _safe_div(sub_v, new.wv))
+    ngau, ngav = graph.gather_endpoints(new.ga)
+    zu = pu - ngau * (gu + _safe_div(sub_u, new.wu))
+    zv = pv - ngav * (gv + _safe_div(sub_v, new.wv))
     return new, zu, zv
 
 
@@ -208,7 +212,7 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
     label_mode = opt.dif_tol >= 1.0
 
     pre = initial_precondition_simplex(al, laf, graph, q, p0, opt.rho)
-    zu, zv = p0[graph.eu], p0[graph.ev]
+    zu, zv = graph.gather_endpoints(p0)
     rho = jnp.asarray(opt.rho, dtype)
     vcount = graph.num_vertices
 
@@ -225,8 +229,6 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
         obj_trace=jnp.zeros((n_trace,), dtype),
         dif_trace=jnp.zeros((n_trace,), dtype),
     )
-    eu, ev = graph.eu, graph.ev
-
     def cond(s: SimplexState):
         return jnp.logical_and(s.it < opt.it_max, s.dif >= opt.dif_tol)
 
@@ -255,11 +257,13 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
         g = _loss_grad(al, s.p, q, laf)
         fp = 2.0 * s.p - pre.ga * g
         # per-(edge,label) d1 prox with relaxation (:589-634)
-        au = fp[eu] - zu
-        av = fp[ev] - zv
+        fpu, fpv = graph.gather_endpoints(fp)
+        spu, spv = graph.gather_endpoints(s.p)
+        au = fpu - zu
+        av = fpv - zv
         pu, pv = d1_pair_prox(au, av, pre.w_d1u, pre.w_d1v, pre.th_d1)
-        zu = zu + rho * (pu - s.p[eu])
-        zv = zv + rho * (pv - s.p[ev])
+        zu = zu + rho * (pu - spu)
+        zv = zv + rho * (pv - spv)
         # weighted average (:636-648)
         p = graph.edge_to_vertex_sum(pre.wu * zu, pre.wv * zv)
         # simplex projection in metric Ga (:650-651)

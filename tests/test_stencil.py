@@ -1,0 +1,104 @@
+"""Stencil graph container: must be math-identical to the COO container."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cp_pfdr_graph_d1_tpu import (DenseOp, GraphD1, PFDROptions, VertexProx,
+                                  pfdr_loss_d1_simplex, pfdr_quadratic_d1)
+from cp_pfdr_graph_d1_tpu.config import CPOptions
+from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+
+
+def make_pair(h=12, w=10, wrap=(False, True), seed=0):
+    """Same grid graph as a stencil and as COO (nonzero edges only)."""
+    r = np.random.default_rng(seed)
+    la_right = r.uniform(0.2, 1.0, (h, w))
+    la_down = r.uniform(0.2, 1.0, (h, w))
+    sg = StencilGraphD1.create((h, w), {(0, 1): la_right, (1, 0): la_down},
+                               wrap=wrap, dtype=jnp.float64)
+    eu, ev = np.asarray(sg.eu), np.asarray(sg.ev)
+    la = np.asarray(sg.la_d1)
+    keep = la > 0
+    cg = GraphD1.create(eu[keep], ev[keep], la[keep], num_vertices=h * w,
+                        dtype=jnp.float64)
+    return sg, cg, keep
+
+
+def test_gather_and_reduce_match_coo():
+    sg, cg, keep = make_pair()
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.normal(size=sg.num_vertices))
+    su, sv = sg.gather_endpoints(x)
+    su, sv = np.asarray(su)[keep], np.asarray(sv)[keep]
+    cu, cvv = cg.gather_endpoints(x)
+    np.testing.assert_allclose(su, np.asarray(cu))
+    np.testing.assert_allclose(sv, np.asarray(cvv))
+
+    vals = r.normal(size=sg.num_edges)
+    vals[~keep] = 0.0  # zero-weight edges carry zero contributions
+    out_s = sg.edge_to_vertex_sum(jnp.asarray(vals), jnp.asarray(2 * vals))
+    out_c = cg.edge_to_vertex_sum(jnp.asarray(vals[keep]),
+                                  jnp.asarray(2 * vals[keep]))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_c),
+                               atol=1e-12)
+
+
+def test_gather_2d_labels():
+    sg, cg, keep = make_pair()
+    r = np.random.default_rng(2)
+    x = jnp.asarray(r.normal(size=(sg.num_vertices, 3)))
+    su, sv = sg.gather_endpoints(x)
+    cu, cvv = cg.gather_endpoints(x)
+    np.testing.assert_allclose(np.asarray(su)[keep], np.asarray(cu))
+    np.testing.assert_allclose(np.asarray(sv)[keep], np.asarray(cvv))
+
+
+def test_pfdr_quadratic_identical_on_stencil():
+    sg, cg, keep = make_pair(seed=3)
+    v = sg.num_vertices
+    r = np.random.default_rng(4)
+    a = r.normal(size=(24, v)) / 5.0
+    y = a @ r.normal(size=v)
+    lip = float(np.linalg.svd(a, compute_uv=False)[0] ** 2)
+    opt = PFDROptions(rho=1.3, dif_tol=1e-9, it_max=1500)
+    args = dict(la_l1=jnp.full((v,), 0.05), vprox=VertexProx(kind="l1"),
+                lipsch=lip, opt=opt)
+    r_s = pfdr_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), sg,
+                            **args)
+    r_c = pfdr_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), cg,
+                            **args)
+    assert int(r_s.it) == int(r_c.it)
+    np.testing.assert_allclose(np.asarray(r_s.x), np.asarray(r_c.x),
+                               atol=1e-10)
+
+
+def test_pfdr_simplex_identical_on_stencil():
+    sg, cg, keep = make_pair(seed=5)
+    v = sg.num_vertices
+    r = np.random.default_rng(6)
+    q = np.abs(r.normal(size=(v, 3))) + 0.05
+    q /= q.sum(1, keepdims=True)
+    opt = PFDROptions(dif_tol=1e-8, it_max=800)
+    r_s = pfdr_loss_d1_simplex(sg, jnp.asarray(q), al=1.0, opt=opt)
+    r_c = pfdr_loss_d1_simplex(cg, jnp.asarray(q), al=1.0, opt=opt)
+    np.testing.assert_allclose(np.asarray(r_s.p), np.asarray(r_c.p),
+                               atol=1e-10)
+
+
+def test_cut_pursuit_on_stencil():
+    sg, cg, keep = make_pair(seed=7, wrap=(False, False))
+    v = sg.num_vertices
+    r = np.random.default_rng(8)
+    a = r.normal(size=(30, v)) / 5.0
+    x_true = np.zeros((12, 10))
+    x_true[3:8, 2:7] = 1.0
+    y = a @ x_true.ravel() + 0.02 * r.normal(size=30)
+    opt = CPOptions(dif_tol=1e-5, it_max=10,
+                    pfdr=PFDROptions(rho=1.5, dif_tol=1e-8, it_max=5000))
+    la_l1 = np.full(v, 0.03)
+    r_s = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), sg,
+                          la_l1=la_l1, opt=opt)
+    r_c = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), cg,
+                          la_l1=la_l1, opt=opt)
+    np.testing.assert_allclose(r_s.rx[r_s.cv], r_c.rx[r_c.cv], atol=1e-6)
