@@ -126,6 +126,11 @@ class GraphD1:
             out = jax.lax.psum(out, self.axis_name)
         return out
 
+    def vertex_allsum(self, vals):
+        """Global sum of a per-vertex quantity; vertex-sharded subclasses
+        psum across the mesh axis."""
+        return jnp.sum(vals)
+
     def vertex_degree_weighted(self, edge_w):
         """``out[v] = sum of edge_w over edges incident to v`` (self-loops
         count twice, matching the reference's +=-both-endpoints loops)."""

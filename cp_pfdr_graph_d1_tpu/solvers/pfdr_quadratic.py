@@ -79,14 +79,13 @@ def _safe_div(num, den, fill=0.0):
     return jnp.where(ok, num / jnp.where(ok, den, 1), fill)
 
 
-def _amplitude_scale(x, inverse: bool):
+def _amplitude_scale(graph, x, inverse: bool):
     """Amplitude statistic over nonzero coordinates
     (``PFDR_graph_quadratic_d1_l1.cpp:145-154``): the *inverse* mean
     ``n / sum|x|`` at initial preconditioning (``P == NULL`` branch), the
     mean ``sum|x| / n`` at reconditioning."""
-    nz = x != 0
-    n = jnp.sum(nz).astype(x.dtype)
-    s = jnp.sum(jnp.abs(x))
+    n = graph.vertex_allsum((x != 0).astype(x.dtype))
+    s = graph.vertex_allsum(jnp.abs(x))
     if inverse:
         return _safe_div(n, s, 1.0)
     return _safe_div(s, n, 1.0)
@@ -148,7 +147,7 @@ def initial_precondition(op: QuadOp, obs, graph: GraphD1,
         pinv = _safe_div(op.apply_t(obs), h)
     else:
         pinv = _safe_div(obs, h)
-    c = _amplitude_scale(pinv, inverse=True)
+    c = _amplitude_scale(graph, pinv, inverse=True)
     w_raw = c * graph.la_d1
     l1_h = c * la_l1 if la_l1 is not None else None
     return _finalize_precond(graph, h, w_raw, w_raw, la_l1, l1_h,
@@ -168,7 +167,7 @@ def recondition(op: QuadOp, obs, graph: GraphD1, la_l1, rho, cond_min,
 
     v = graph.num_vertices
     h = op.gram_diag(v, obs.dtype)
-    c = _amplitude_scale(x, inverse=False)
+    c = _amplitude_scale(graph, x, inverse=False)
     # d1 weights from local finite differences (:167-191)
     amp = jnp.maximum(jnp.maximum(jnp.abs(xu), jnp.abs(xv)), c)
     d = jnp.maximum(jnp.abs(xu - xv), cond_min * amp)
@@ -211,7 +210,7 @@ def _full_obj(op: QuadOp, x, obs, graph: GraphD1, la_l1, vprox: VertexProx):
     xu, xv = graph.gather_endpoints(x)
     obj = obj + graph.edge_allsum(graph.la_d1 * jnp.abs(xu - xv))
     if la_l1 is not None and vprox.kind == "l1":
-        obj = obj + jnp.sum(la_l1 * jnp.abs(x))
+        obj = obj + graph.vertex_allsum(la_l1 * jnp.abs(x))
     return obj
 
 
@@ -277,7 +276,7 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
             obj = quad + graph.edge_allsum(
                 graph.la_d1 * jnp.abs(oxu - oxv))
             if la_l1 is not None:
-                obj = obj + jnp.sum(la_l1 * jnp.abs(s.x))
+                obj = obj + graph.vertex_allsum(la_l1 * jnp.abs(s.x))
             obj_trace = obj_trace.at[s.it].set(obj)
 
         # reconditioning (:448-460); statically omitted when disabled
@@ -311,8 +310,8 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
 
         # relative iterate evolution (:514-529)
         delta = x - s.x_prev
-        num = jnp.vdot(delta, delta).real.astype(dtype)
-        den = jnp.vdot(x, x).real.astype(dtype)
+        num = graph.vertex_allsum(delta * delta).astype(dtype)
+        den = graph.vertex_allsum(x * x).astype(dtype)
         dif = jnp.where(den > eps, num / den, num / eps)
         dif_trace = s.dif_trace
         if monitor:

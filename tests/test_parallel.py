@@ -67,3 +67,65 @@ def test_sharded_padding_inert():
                                     lipsch=lip, opt=opt)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(base.x),
                                atol=1e-9)
+
+
+def test_halo_stencil_matches_single_device():
+    """Vertex-sharded (halo-exchange) stencil PFDR vs single-device."""
+    from cp_pfdr_graph_d1_tpu.parallel.halo import (pfdr_quadratic_d1_halo,
+                                                    shard_stencil_problem)
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+
+    h, w, n = 16, 12, 32
+    v = h * w
+    r = np.random.default_rng(9)
+    la_r = r.uniform(0.1, 0.4, (h, w))
+    la_d = r.uniform(0.1, 0.4, (h, w))
+    sg = StencilGraphD1.create((h, w), {(0, 1): la_r, (1, 0): la_d},
+                               wrap=(False, True), dtype=jnp.float64)
+    a = r.normal(size=(n, v)) / np.sqrt(n)
+    x_true = np.zeros((h, w))
+    x_true[4:10, 3:9] = 1.0
+    y = a @ x_true.ravel() + 0.02 * r.normal(size=n)
+    la_l1 = np.full(v, 0.02)
+    lip = float(np.linalg.svd(a, compute_uv=False)[0] ** 2)
+    opt = PFDROptions(rho=1.2, dif_tol=1e-8, it_max=800)
+    vprox = VertexProx(kind="l1")
+
+    base = pfdr_quadratic_d1(
+        DenseOp(jnp.asarray(a, jnp.float64)), jnp.asarray(y, jnp.float64),
+        sg, la_l1=jnp.asarray(la_l1), vprox=vprox, lipsch=lip, opt=opt)
+
+    mesh = make_mesh(8)
+    prob = shard_stencil_problem(a.astype(np.float64), y.astype(np.float64),
+                                 sg, 8)
+    res = pfdr_quadratic_d1_halo(prob, mesh, la_l1=la_l1, vprox=vprox,
+                                 lipsch=lip, opt=opt)
+    assert int(res.it) == int(base.it)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(base.x),
+                               atol=1e-9)
+
+
+def test_halo_wrapped_axis0():
+    """Global wrap on the sharded axis rides the ppermute ring."""
+    from cp_pfdr_graph_d1_tpu.parallel.halo import (pfdr_quadratic_d1_halo,
+                                                    shard_stencil_problem)
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+
+    h, w, n = 8, 10, 24
+    v = h * w
+    r = np.random.default_rng(11)
+    sg = StencilGraphD1.create((h, w), {(0, 1): 0.2, (1, 0): 0.2},
+                               wrap=(True, True), dtype=jnp.float64)
+    a = r.normal(size=(n, v)) / np.sqrt(n)
+    y = a @ r.normal(size=v)
+    lip = float(np.linalg.svd(a, compute_uv=False)[0] ** 2)
+    opt = PFDROptions(dif_tol=1e-8, it_max=500)
+    base = pfdr_quadratic_d1(
+        DenseOp(jnp.asarray(a, jnp.float64)), jnp.asarray(y, jnp.float64),
+        sg, lipsch=lip, opt=opt)
+    mesh = make_mesh(4)
+    prob = shard_stencil_problem(a.astype(np.float64), y.astype(np.float64),
+                                 sg, 4)
+    res = pfdr_quadratic_d1_halo(prob, mesh, lipsch=lip, opt=opt)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(base.x),
+                               atol=1e-9)

@@ -1,0 +1,59 @@
+"""Checkpoint round-trip and resume-with-updated-data."""
+import jax.numpy as jnp
+import numpy as np
+
+from cp_pfdr_graph_d1_tpu import CPOptions, DenseOp, GraphD1, PFDROptions
+from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_simplex import (
+    CPSimplexState, cp_loss_d1_simplex)
+from cp_pfdr_graph_d1_tpu.utils import load_state, save_state
+
+from .conftest import make_grid_graph
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    eu, ev, la = make_grid_graph(6, 6, seed=0)
+    v = 36
+    r = np.random.default_rng(0)
+    a = r.normal(size=(20, v)) / 4
+    x_true = np.zeros((6, 6))
+    x_true[1:4, 1:4] = 1.0
+    y = a @ x_true.ravel() + 0.02 * r.normal(size=20)
+    g = GraphD1.create(eu, ev, 0.2 * la, dtype=jnp.float64)
+    opt = CPOptions(dif_tol=1e-5, it_max=6,
+                    pfdr=PFDROptions(dif_tol=1e-8, it_max=5000))
+    la_l1 = np.full(v, 0.02)
+
+    res = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), g,
+                          la_l1=la_l1, opt=opt)
+    path = tmp_path / "state.npz"
+    save_state(path, res.state)
+    state = load_state(path)
+    np.testing.assert_array_equal(state.cv, res.state.cv)
+    np.testing.assert_array_equal(state.active, res.state.active)
+
+    # resume on slightly perturbed data: the warm path may settle on a
+    # slightly different (equally valid) partition, so compare objective
+    # quality and iteration count rather than exact values
+    y2 = y + 0.01 * r.normal(size=20)
+    warm = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y2), g,
+                           la_l1=la_l1, opt=opt, state=state, monitor=True)
+    cold = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y2), g,
+                           la_l1=la_l1, opt=opt, monitor=True)
+    assert warm.obj[-1] <= cold.obj[-1] * 1.01 + 1e-9
+    assert warm.it <= cold.it
+
+
+def test_checkpoint_simplex_roundtrip(tmp_path):
+    eu, ev, la = make_grid_graph(6, 6, seed=1)
+    r = np.random.default_rng(2)
+    q = np.abs(r.normal(size=(36, 3))) + 0.1
+    q /= q.sum(1, keepdims=True)
+    g = GraphD1.create(eu, ev, 0.2 * la, dtype=jnp.float64)
+    res = cp_loss_d1_simplex(g, jnp.asarray(q), al=1.0,
+                             opt=CPOptions(dif_tol=1e-4, it_max=4))
+    path = tmp_path / "sstate.npz"
+    save_state(path, res.state)
+    state = load_state(path)
+    assert isinstance(state, CPSimplexState)
+    np.testing.assert_array_equal(state.rp, res.state.rp)
