@@ -105,13 +105,17 @@ def cp_quadratic_d1_l1(Y, A, Eu, Ev, La_d1, La_l1=None, positivity=False,
                        CP_difTol=1e-3, CP_itMax=10, PFDR_rho=1.0,
                        PFDR_condMin=1e-3, PFDR_difRcd=0.0, PFDR_difTol=1e-4,
                        PFDR_itMax=10_000, verbose=0, duplex=False,
-                       monitor=False, state=None) -> CPOutput:
+                       monitor=False, state=None, graph=None) -> CPOutput:
     """Fused LASSO ``1/2||y - A x||^2 + d1 + l1`` with dense N-by-V ``A``
     (``octave/mex/CP_PFDR_graph_quadratic_d1_l1_mex.cpp:12``; duplex=True
-    selects the two-layer ternary-cut variant)."""
+    selects the two-layer ternary-cut variant).  Pass a prebuilt ``graph``
+    (e.g. a :class:`~cp_pfdr_graph_d1_tpu.stencil.StencilGraphD1`) to skip
+    the COO construction and use its gather-free fast path; ``Eu``/``Ev``/
+    ``La_d1`` are then ignored."""
     dtype = _dtype_of(Y, A)
     a = jnp.asarray(np.asarray(A), dtype)
-    g = _graph(Eu, Ev, La_d1, a.shape[1], dtype)
+    g = graph if graph is not None else _graph(Eu, Ev, La_d1, a.shape[1],
+                                               dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
                       PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
     return _cp_run(DenseOp(a), jnp.asarray(np.asarray(Y), dtype), g, La_l1,

@@ -67,8 +67,8 @@ def _grad_smooth(op: QuadOp, obs, x_full):
 @jax.jit
 def _objective(op: QuadOp, obs, x_full, graph: GraphD1, la_l1, la_l1_on):
     obj = op.quad_obj(x_full, obs)
-    obj = obj + jnp.sum(graph.la_d1 * jnp.abs(x_full[graph.eu]
-                                              - x_full[graph.ev]))
+    xu, xv = graph.gather_endpoints(x_full)
+    obj = obj + jnp.sum(graph.la_d1 * jnp.abs(xu - xv))
     obj = obj + la_l1_on * jnp.sum(la_l1 * jnp.abs(x_full))
     return obj
 

@@ -33,9 +33,11 @@ def make_sphere_mesh(n_theta=110, n_phi=180):
     idx = np.arange(n_theta * n_phi).reshape(n_theta, n_phi)
     eu = [idx[:, :-1].ravel(), idx[:-1, :].ravel(), idx[:-1, :-1].ravel()]
     ev = [idx[:, 1:].ravel(), idx[1:, :].ravel(), idx[1:, 1:].ravel()]
-    # wrap the azimuthal seam
+    # wrap the azimuthal seam (right and down-right families)
     eu.append(idx[:, -1])
     ev.append(idx[:, 0])
+    eu.append(idx[:-1, -1])
+    ev.append(idx[1:, 0])
     eu = np.concatenate(eu).astype(np.int32)
     ev = np.concatenate(ev).astype(np.int32)
     return xyz.reshape(-1, 3), eu, ev
@@ -88,18 +90,33 @@ def dice_scores(x, x0):
     return ds, dsa
 
 
-def main():
+def make_stencil_graph(la_value, n_theta=110, n_phi=180):
+    """The sphere mesh as a stencil: three shift families over the
+    theta-phi grid with the azimuthal axis wrapped — the gather-free TPU
+    fast path for this graph."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+
+    return StencilGraphD1.create(
+        (n_theta, n_phi),
+        {(0, 1): la_value, (1, 0): la_value, (1, 1): la_value},
+        wrap=(False, True), dtype=jnp.float32)
+
+
+def main(use_stencil=True):
     from cp_pfdr_graph_d1_tpu import api
 
     phi, y, eu, ev, la_d1, la_l1, x0 = make_problem()
     print(f"V = {phi.shape[1]}, E = {len(eu)}, N = {phi.shape[0]}, "
           f"true support = {int((x0 != 0).sum())}")
+    graph = make_stencil_graph(float(la_d1[0])) if use_stencil else None
     # reference example parameters (example_EEG_CP.m:20-27)
     t0 = time.time()
     out = api.cp_quadratic_d1_l1(
         y, phi, eu, ev, la_d1, la_l1, positivity=True,
         CP_difTol=1e-4, CP_itMax=15, PFDR_rho=1.5, PFDR_condMin=1e-3,
-        PFDR_difRcd=0.0, PFDR_difTol=1e-7, PFDR_itMax=10_000)
+        PFDR_difRcd=0.0, PFDR_difTol=1e-7, PFDR_itMax=10_000, graph=graph)
     x = out.rX[out.Cv]
     print(f"solved in {time.time() - t0:.1f}s: {out.it} cut-pursuit "
           f"iterations, {len(out.rX)} components")
