@@ -18,6 +18,10 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the TPU-tunnel boot hook (sitecustomize) force-updates jax_platforms to
+# "axon,cpu" at interpreter start, overriding the env var above - re-force
+# cpu so the 8-device virtual mesh is what the tests see
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the CP solvers compile several bucket-size
 # variants; caching across test runs cuts suite time dramatically
