@@ -131,6 +131,11 @@ class GraphD1:
         psum across the mesh axis."""
         return jnp.sum(vals)
 
+    def vertex_count_global(self):
+        """Global vertex count (== ``num_vertices`` here; vertex-sharded
+        subclasses multiply by the mesh axis size)."""
+        return self.num_vertices
+
     def vertex_degree_weighted(self, edge_w):
         """``out[v] = sum of edge_w over edges incident to v`` (self-loops
         count twice, matching the reference's +=-both-endpoints loops)."""

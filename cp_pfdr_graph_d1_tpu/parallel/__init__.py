@@ -1,10 +1,16 @@
 from .dp import (DistDenseOp, ShardedQuadraticProblem,
-                 pfdr_quadratic_d1_sharded, shard_quadratic_problem)
-from .halo import (ColShardDenseOp, HaloStencilGraphD1,
-                   pfdr_quadratic_d1_halo, shard_stencil_problem)
+                 ShardedSimplexProblem, pfdr_loss_d1_simplex_sharded,
+                 pfdr_quadratic_d1_sharded, shard_quadratic_problem,
+                 shard_simplex_problem)
+from .halo import (ColShardDenseOp, HaloSimplexProblem, HaloStencilGraphD1,
+                   pfdr_loss_d1_simplex_halo, pfdr_quadratic_d1_halo,
+                   shard_stencil_problem, shard_stencil_simplex_problem)
 from .mesh import make_mesh
 
-__all__ = ["DistDenseOp", "ShardedQuadraticProblem", "make_mesh",
-           "pfdr_quadratic_d1_sharded", "shard_quadratic_problem",
-           "ColShardDenseOp", "HaloStencilGraphD1",
-           "pfdr_quadratic_d1_halo", "shard_stencil_problem"]
+__all__ = ["DistDenseOp", "ShardedQuadraticProblem",
+           "ShardedSimplexProblem", "make_mesh",
+           "pfdr_loss_d1_simplex_sharded", "pfdr_quadratic_d1_sharded",
+           "shard_quadratic_problem", "shard_simplex_problem",
+           "ColShardDenseOp", "HaloSimplexProblem", "HaloStencilGraphD1",
+           "pfdr_loss_d1_simplex_halo", "pfdr_quadratic_d1_halo",
+           "shard_stencil_problem", "shard_stencil_simplex_problem"]

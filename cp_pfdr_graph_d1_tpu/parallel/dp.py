@@ -32,6 +32,7 @@ from ..graph import GraphD1, _build_incidence
 from ..operators import DenseOp
 from ..solvers.pfdr_quadratic import (PFDRResult, VertexProx,
                                       pfdr_quadratic_d1)
+from ..solvers.pfdr_simplex import SimplexResult, pfdr_loss_d1_simplex
 
 
 @jax.tree_util.register_pytree_node_class
@@ -87,24 +88,18 @@ def _pad_to(x, n, axis=0):
     return np.pad(x, widths)
 
 
-def shard_quadratic_problem(a, obs, eu, ev, la_d1, num_shards: int,
-                            dtype=np.float32) -> ShardedQuadraticProblem:
-    """Splits observations and edges into ``num_shards`` balanced blocks and
+def _shard_edges(eu, ev, la_d1, num_shards: int, num_vertices: int,
+                 dtype=np.float32):
+    """Splits the edge set into ``num_shards`` balanced blocks and
     precomputes each block's local incidence table (padded to a common
-    width).  Zero rows / zero-weight spread self-loops pad the remainders —
-    both are inert in the solver."""
-    a = np.asarray(a, dtype)
-    obs = np.asarray(obs, dtype)
+    width).  Zero-weight spread self-loops pad the remainder — inert in
+    the solvers."""
     eu = np.asarray(eu, np.int32)
     ev = np.asarray(ev, np.int32)
     la = np.asarray(np.broadcast_to(la_d1, eu.shape), dtype)
-    n, v = a.shape
+    v = num_vertices
     e = eu.shape[0]
-
-    n_pad = -(-n // num_shards) * num_shards
     e_pad = -(-e // num_shards) * num_shards
-    a = _pad_to(a, n_pad)
-    obs = _pad_to(obs, n_pad)
     extra = e_pad - e
     if extra:
         spread = (np.arange(extra) % v).astype(np.int32)
@@ -123,6 +118,23 @@ def shard_quadratic_problem(a, obs, eu, ev, la_d1, num_shards: int,
         np.concatenate(
             [i, np.full((v, d - i.shape[1]), 2 * e_loc, np.int32)], axis=1)
         if i.shape[1] < d else i for i in incs])
+    return eu_s, ev_s, la_s, inc_s
+
+
+def shard_quadratic_problem(a, obs, eu, ev, la_d1, num_shards: int,
+                            dtype=np.float32) -> ShardedQuadraticProblem:
+    """Splits observations and edges into ``num_shards`` balanced blocks.
+    Zero rows / zero-weight spread self-loops pad the remainders — both
+    are inert in the solver."""
+    a = np.asarray(a, dtype)
+    obs = np.asarray(obs, dtype)
+    n, v = a.shape
+
+    n_pad = -(-n // num_shards) * num_shards
+    a = _pad_to(a, n_pad)
+    obs = _pad_to(obs, n_pad)
+    eu_s, ev_s, la_s, inc_s = _shard_edges(eu, ev, la_d1, num_shards, v,
+                                           dtype)
     return ShardedQuadraticProblem(
         a.reshape(num_shards, n_pad // num_shards, v),
         obs.reshape(num_shards, n_pad // num_shards),
@@ -162,4 +174,59 @@ def pfdr_quadratic_d1_sharded(problem: ShardedQuadraticProblem, mesh: Mesh,
     return sharded(jnp.asarray(problem.a), jnp.asarray(problem.obs),
                    jnp.asarray(problem.eu), jnp.asarray(problem.ev),
                    jnp.asarray(problem.la_d1),
+                   jnp.asarray(problem.incidence))
+
+
+class ShardedSimplexProblem(NamedTuple):
+    """Host-prepared edge shards for the multi-label problem; the [V, K]
+    observation (and iterate) stay replicated."""
+    q: np.ndarray          # [V, K]
+    eu: np.ndarray         # [P, E/P]
+    ev: np.ndarray         # [P, E/P]
+    la_d1: np.ndarray      # [P, E/P]
+    incidence: np.ndarray  # [P, V, D]
+    num_vertices: int
+
+
+def shard_simplex_problem(q, eu, ev, la_d1, num_shards: int,
+                          dtype=np.float32) -> ShardedSimplexProblem:
+    """Edge partition of a loss+d1+simplex problem: per-(edge,label) prox
+    work is split across the mesh; the [V, K] state is replicated (vertex
+    work — loss gradient, simplex projection — is O(V K), small next to
+    the O(E K / P) edge slabs)."""
+    q = np.asarray(q, dtype)
+    v = q.shape[0]
+    eu_s, ev_s, la_s, inc_s = _shard_edges(eu, ev, la_d1, num_shards, v,
+                                           dtype)
+    return ShardedSimplexProblem(q, eu_s, ev_s, la_s, inc_s, v)
+
+
+def pfdr_loss_d1_simplex_sharded(problem: ShardedSimplexProblem, mesh: Mesh,
+                                 *, al: float, la_f=None,
+                                 opt: PFDROptions = PFDROptions(),
+                                 monitor: bool = False,
+                                 axis: str = "dp") -> SimplexResult:
+    """Runs the multi-label PFDR solve under ``shard_map``.
+
+    Communication per iteration: one [V, K] psum for the edge->vertex
+    averaging (the loss gradient and the simplex projection act on the
+    replicated state and need none)."""
+    num_v = problem.num_vertices
+    dtype = problem.q.dtype
+    if la_f is not None:
+        la_f = jnp.asarray(np.broadcast_to(la_f, (num_v,)), dtype)
+
+    def solve(q, eu_loc, ev_loc, la_loc, inc_loc):
+        graph = GraphD1(eu_loc[0], ev_loc[0], la_loc[0], num_v,
+                        incidence=inc_loc[0], axis_name=axis)
+        return pfdr_loss_d1_simplex(graph, q, al=al, la_f=la_f, opt=opt,
+                                    monitor=monitor)
+
+    sharded = jax.shard_map(
+        solve, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False)
+    return sharded(jnp.asarray(problem.q), jnp.asarray(problem.eu),
+                   jnp.asarray(problem.ev), jnp.asarray(problem.la_d1),
                    jnp.asarray(problem.incidence))

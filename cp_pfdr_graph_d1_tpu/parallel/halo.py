@@ -26,6 +26,7 @@ from ..config import Lipsch, PFDROptions
 from ..operators import DenseOp
 from ..solvers.pfdr_quadratic import (PFDRResult, VertexProx,
                                       pfdr_quadratic_d1)
+from ..solvers.pfdr_simplex import SimplexResult, pfdr_loss_d1_simplex
 from ..stencil import StencilGraphD1
 
 
@@ -95,6 +96,9 @@ class HaloStencilGraphD1(StencilGraphD1):
 
     def edge_allsum(self, vals):
         return jax.lax.psum(jnp.sum(vals), self.shard_axis)
+
+    def vertex_count_global(self):
+        return self.num_vertices * jax.lax.psum(1, self.shard_axis)
 
     def tree_flatten(self):
         return (self.la_d1,), (self.field_shape, self.shifts, self.wrap,
@@ -207,3 +211,71 @@ def pfdr_quadratic_d1_halo(problem: HaloShardedProblem, mesh: Mesh, *,
     res = sharded(jnp.asarray(problem.a), jnp.asarray(problem.la_d1),
                   la_l1_s, jnp.asarray(problem.obs))
     return res._replace(x=res.x.reshape(-1))
+
+
+class HaloSimplexProblem(NamedTuple):
+    q: np.ndarray        # [P, H_loc * W, K] row blocks of the observation
+    la_d1: np.ndarray    # [P, F * H_loc * W]
+    la_f: np.ndarray     # [P, H_loc * W] or None
+    field_shape: tuple   # global (H, W)
+    shifts: tuple
+    wrap: tuple
+
+
+def shard_stencil_simplex_problem(q, graph: StencilGraphD1,
+                                  num_shards: int,
+                                  la_f=None) -> HaloSimplexProblem:
+    """Row-block partition of a multi-label stencil problem: both the
+    [V, K] observation/iterate and the per-(edge,label) work are sharded,
+    so graphs can exceed single-chip memory; per-iteration communication is
+    the O(W K) halo exchange."""
+    h, w = graph.field_shape
+    if h % num_shards:
+        raise ValueError(f"H={h} not divisible by {num_shards} shards")
+    h_loc = h // num_shards
+    hd = max((abs(dy) for dy, _ in graph.shifts), default=0)
+    if h_loc < hd:
+        raise ValueError(f"block height {h_loc} smaller than halo {hd}")
+    f = len(graph.shifts)
+    q = np.asarray(q)
+    k = q.shape[-1]
+    la = np.asarray(graph.la_d1).reshape(f, h, w)
+    la_s = np.stack([la[:, p * h_loc:(p + 1) * h_loc, :].reshape(-1)
+                     for p in range(num_shards)])
+    q_s = q.reshape(h, w, k).reshape(num_shards, h_loc * w, k)
+    if la_f is not None:
+        la_f = np.asarray(np.broadcast_to(la_f, (h * w,)), q.dtype)
+        la_f = la_f.reshape(num_shards, h_loc * w)
+    return HaloSimplexProblem(q_s, la_s, la_f, (h, w), graph.shifts,
+                              graph.wrap)
+
+
+def pfdr_loss_d1_simplex_halo(problem: HaloSimplexProblem, mesh: Mesh, *,
+                              al: float,
+                              opt: PFDROptions = PFDROptions(),
+                              monitor: bool = False,
+                              axis: str = "dp") -> SimplexResult:
+    """Runs the multi-label PFDR solve with a row-sharded [V, K] iterate
+    under shard_map; returns the result with ``p`` gathered to [V, K]."""
+    h, w = problem.field_shape
+    num_shards = mesh.devices.size
+    h_loc = h // num_shards
+    has_laf = problem.la_f is not None
+
+    def solve(q_loc, la_loc, la_f_loc):
+        graph = HaloStencilGraphD1(la_loc[0], (h_loc, w), problem.shifts,
+                                   problem.wrap, axis)
+        res = pfdr_loss_d1_simplex(
+            graph, q_loc[0], al=al,
+            la_f=la_f_loc[0] if has_laf else None, opt=opt, monitor=monitor)
+        return res._replace(p=res.p[None])
+
+    la_f_s = (jnp.asarray(problem.la_f) if has_laf else
+              jnp.zeros(problem.q.shape[:2], problem.q.dtype))
+    out_specs = SimplexResult(p=P(axis), it=P(), obj=P(), dif=P())
+    sharded = jax.shard_map(solve, mesh=mesh,
+                            in_specs=(P(axis), P(axis), P(axis)),
+                            out_specs=out_specs, check_vma=False)
+    res = sharded(jnp.asarray(problem.q), jnp.asarray(problem.la_d1),
+                  la_f_s)
+    return res._replace(p=res.p.reshape(h * w, -1))

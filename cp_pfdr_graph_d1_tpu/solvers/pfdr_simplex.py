@@ -115,8 +115,8 @@ def _loss_lipschitz(al: float, q, la_f):
     return lip
 
 
-def loss_objective(al: float, p, q, la_f):
-    """Loss part of the objective (:476-526)."""
+def loss_pervertex(al: float, p, q, la_f):
+    """Per-vertex loss values [V] (:476-526)."""
     if al == 0.0:
         per_v = -jnp.sum(p * q, axis=-1)
     elif al == 1.0:
@@ -128,7 +128,12 @@ def loss_objective(al: float, p, q, la_f):
         per_v = jnp.sum(c * jnp.log(c / (al_k + al_1 * p)), axis=-1)
     if la_f is not None:
         per_v = la_f * per_v
-    return jnp.sum(per_v)
+    return per_v
+
+
+def loss_objective(al: float, p, q, la_f):
+    """Loss part of the objective (:476-526)."""
+    return jnp.sum(loss_pervertex(al, p, q, la_f))
 
 
 def d1_objective(graph: GraphD1, p):
@@ -214,7 +219,7 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
     pre = initial_precondition_simplex(al, laf, graph, q, p0, opt.rho)
     zu, zv = graph.gather_endpoints(p0)
     rho = jnp.asarray(opt.rho, dtype)
-    vcount = graph.num_vertices
+    vcount = graph.vertex_count_global()
 
     if label_mode:
         prev = _ml_labels(p0).astype(dtype)[:, None]
@@ -235,7 +240,7 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
     def body(s: SimplexState) -> SimplexState:
         obj_trace = s.obj_trace
         if monitor:
-            obj = (loss_objective(al, s.p, q, laf)
+            obj = (graph.vertex_allsum(loss_pervertex(al, s.p, q, laf))
                    + d1_objective(graph, s.p))
             obj_trace = obj_trace.at[s.it].set(obj)
 
@@ -272,10 +277,11 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
         # iterate evolution (:653-691)
         if label_mode:
             labels = _ml_labels(p).astype(dtype)[:, None]
-            dif = jnp.sum(labels != s.prev).astype(dtype)
+            dif = graph.vertex_allsum(
+                (labels != s.prev).astype(dtype))
             prev = labels
         else:
-            dif = jnp.sum(jnp.abs(p - s.prev)) / vcount
+            dif = graph.vertex_allsum(jnp.abs(p - s.prev)) / vcount
             prev = p
         dif_trace = s.dif_trace
         if monitor:
@@ -288,7 +294,8 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
     obj_trace = s.obj_trace
     if monitor:
         obj_trace = obj_trace.at[s.it].set(
-            loss_objective(al, s.p, q, laf) + d1_objective(graph, s.p))
+            graph.vertex_allsum(loss_pervertex(al, s.p, q, laf))
+            + d1_objective(graph, s.p))
     return SimplexResult(p=s.p, it=s.it, obj=obj_trace, dif=s.dif_trace)
 
 

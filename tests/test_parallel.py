@@ -105,6 +105,94 @@ def test_halo_stencil_matches_single_device():
                                atol=1e-9)
 
 
+def make_simplex_problem(h, w, k, seed=0):
+    r = np.random.default_rng(seed)
+    v = h * w
+    labels = (np.arange(v) * k // v)
+    q = np.full((v, k), 0.1 / k)
+    q[np.arange(v), labels] += 0.9
+    q += 0.05 * r.random((v, k))
+    q /= q.sum(axis=1, keepdims=True)
+    return q
+
+
+@pytest.mark.parametrize("al", [0.0, 1.0, 0.5])
+def test_sharded_simplex_matches_single_device(al):
+    """Edge-sharded multi-label PFDR vs single-device, all three losses."""
+    from cp_pfdr_graph_d1_tpu.parallel import (pfdr_loss_d1_simplex_sharded,
+                                               shard_simplex_problem)
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import pfdr_loss_d1_simplex
+
+    h, w, k = 8, 9, 4
+    eu, ev, la = make_grid_graph(h, w, seed=3)
+    la = 0.3 * la
+    q = make_simplex_problem(h, w, k, seed=3)
+    la_f = np.full(h * w, 1.3)
+    opt = PFDROptions(rho=1.2, dif_tol=1e-8, it_max=400)
+
+    base = pfdr_loss_d1_simplex(
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        jnp.asarray(q, jnp.float64), al=al, la_f=la_f, opt=opt)
+
+    mesh = make_mesh(5)  # E % 5 != 0 exercises the padding
+    prob = shard_simplex_problem(q, eu, ev, la, 5, dtype=np.float64)
+    res = pfdr_loss_d1_simplex_sharded(prob, mesh, al=al, la_f=la_f, opt=opt)
+    assert int(res.it) == int(base.it)
+    np.testing.assert_allclose(np.asarray(res.p), np.asarray(base.p),
+                               atol=1e-9)
+
+
+@pytest.mark.parametrize("al", [0.0, 0.5])
+def test_halo_simplex_matches_single_device(al):
+    """Vertex-sharded (halo) multi-label stencil PFDR vs single-device."""
+    from cp_pfdr_graph_d1_tpu.parallel import (pfdr_loss_d1_simplex_halo,
+                                               shard_stencil_simplex_problem)
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import pfdr_loss_d1_simplex
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+
+    h, w, k = 16, 6, 3
+    sg = StencilGraphD1.create((h, w), {(0, 1): 0.25, (1, 0): 0.25},
+                               dtype=jnp.float64)
+    q = make_simplex_problem(h, w, k, seed=5)
+    la_f = None if al == 0.0 else np.full(h * w, 0.8)
+    opt = PFDROptions(rho=1.3, dif_tol=1e-8, it_max=300)
+
+    base = pfdr_loss_d1_simplex(sg, jnp.asarray(q, jnp.float64), al=al,
+                                la_f=la_f, opt=opt)
+
+    mesh = make_mesh(8)
+    prob = shard_stencil_simplex_problem(q.astype(np.float64), sg, 8,
+                                         la_f=la_f)
+    res = pfdr_loss_d1_simplex_halo(prob, mesh, al=al, opt=opt)
+    assert int(res.it) == int(base.it)
+    np.testing.assert_allclose(np.asarray(res.p), np.asarray(base.p),
+                               atol=1e-9)
+
+
+def test_halo_simplex_label_count_stopping():
+    """The maximum-likelihood label-count stopping mode psums correctly
+    across vertex shards."""
+    from cp_pfdr_graph_d1_tpu.parallel import (pfdr_loss_d1_simplex_halo,
+                                               shard_stencil_simplex_problem)
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import pfdr_loss_d1_simplex
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+
+    h, w, k = 8, 6, 3
+    sg = StencilGraphD1.create((h, w), {(0, 1): 0.3, (1, 0): 0.3},
+                               dtype=jnp.float64)
+    q = make_simplex_problem(h, w, k, seed=7)
+    opt = PFDROptions(rho=1.0, dif_tol=1.0, it_max=200)  # label mode
+
+    base = pfdr_loss_d1_simplex(sg, jnp.asarray(q, jnp.float64), al=0.5,
+                                opt=opt)
+    mesh = make_mesh(4)
+    prob = shard_stencil_simplex_problem(q.astype(np.float64), sg, 4)
+    res = pfdr_loss_d1_simplex_halo(prob, mesh, al=0.5, opt=opt)
+    assert int(res.it) == int(base.it)
+    np.testing.assert_allclose(np.asarray(res.p), np.asarray(base.p),
+                               atol=1e-9)
+
+
 def test_halo_wrapped_axis0():
     """Global wrap on the sharded axis rides the ppermute ring."""
     from cp_pfdr_graph_d1_tpu.parallel.halo import (pfdr_quadratic_d1_halo,
