@@ -6,11 +6,17 @@ The problem mirrors the reference's EEG example
 (``/root/reference/octave/example_EEG_CP.m``: dense A with N=91
 observations, V ~ 19.6k cortical-mesh vertices, ~2V edges; the bundled
 EEG.mat is absent from the mount so the problem is regenerated
-synthetically with the same structure).  ``value`` is TV edge updates per
-second of our TPU solver over a fixed iteration count;
-``vs_baseline`` is the speedup against the reference C++/OpenMP PFDR
-(compiled from the read-only mount, run on this host's CPUs) on identical
-inputs and iteration count.
+synthetically with the same structure).  ``value`` is sustained TV edge
+updates per second of our TPU solver; ``vs_baseline`` is the speedup
+against the reference C++/OpenMP PFDR (compiled from the read-only mount,
+run on this host's CPUs) on identical inputs.
+
+Timing honesty: the TPU chip is reached through a tunnel with a ~30 ms
+RPC round trip per dispatch, and ``block_until_ready`` does not reliably
+cover remote completion — so the timed run (a) materializes the result to
+host numpy and (b) runs ITERS_TIME iterations in ONE jitted while_loop so
+the fixed RPC cost is <10% of the measurement.  Correctness is checked
+separately at ITERS iterations against the reference solver.
 """
 import json
 import os
@@ -21,7 +27,8 @@ import numpy as np
 
 V_SIDE = 140                 # V = 19600 ~ EEG cortical mesh size
 N_OBS = 91                   # EEG electrode count
-ITERS = 400
+ITERS = 400                  # solution-check run (matches reference run)
+ITERS_TIME = 40000           # timing run: device time >> tunnel RPC cost
 LA_D1 = 2e-3
 LA_L1 = 2e-3
 
@@ -62,22 +69,22 @@ def run_ours(eu, ev, la_d1, a, y, la_l1, lip):
     op = DenseOp(jnp.asarray(a))
     obs = jnp.asarray(y)
     l1 = jnp.asarray(la_l1)
-    opt = PFDROptions(rho=1.5, dif_tol=0.0, it_max=ITERS)
     vprox = VertexProx(kind="l1", positivity=True)
 
-    def solve():
+    def solve(iters):
+        opt = PFDROptions(rho=1.5, dif_tol=0.0, it_max=iters)
         res = pfdr_quadratic_d1(op, obs, graph, la_l1=l1, vprox=vprox,
                                 lipsch=lip, opt=opt)
-        jax.block_until_ready(res.x)
-        return res
+        return np.asarray(res.x)  # host materialization barrier
 
-    solve()  # compile
+    x_check = solve(ITERS)  # also compiles the timing variant's sibling
+    solve(ITERS_TIME)       # compile + warm the timing variant
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        res = solve()
+        solve(ITERS_TIME)
         best = min(best, time.perf_counter() - t0)
-    return best, np.asarray(res.x)
+    return best / ITERS_TIME, x_check
 
 
 def run_reference(eu, ev, la_d1, a, y, la_l1, lip):
@@ -95,8 +102,8 @@ def main():
     lip = float(np.linalg.eigvalsh((a @ a.T).astype(np.float64))[-1])
     e = len(eu)
 
-    t_ours, x_ours = run_ours(eu, ev, la_d1, a, y, la_l1, lip)
-    updates_per_s = e * ITERS / t_ours
+    t_iter, x_ours = run_ours(eu, ev, la_d1, a, y, la_l1, lip)
+    updates_per_s = e / t_iter
 
     vs = 0.0
     try:
