@@ -42,6 +42,10 @@ class PFDROptions:
         whenever the evolution falls below it.  0 disables reconditioning.
       dif_tol: stopping threshold on the relative iterate evolution.
       it_max: maximum number of iterations.
+      fused: "auto" runs the fused Pallas iteration kernel when the graph
+        supports it, the backend is TPU and the dtype is float32; "on"
+        forces it (interpreted off-TPU, for testing); "off" disables it.
+        The fused and unfused paths compute the same update.
     """
 
     rho: float = 1.0
@@ -49,6 +53,7 @@ class PFDROptions:
     dif_rcd: float = 0.0
     dif_tol: float = 1e-4
     it_max: int = 10_000
+    fused: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -100,6 +100,12 @@ class HaloStencilGraphD1(StencilGraphD1):
     def vertex_count_global(self):
         return self.num_vertices * jax.lax.psum(1, self.shard_axis)
 
+    @property
+    def supports_fused(self):
+        # boundary rolls cross shard boundaries (ppermute); the single-block
+        # fused kernel does not apply
+        return False
+
     def tree_flatten(self):
         return (self.la_d1,), (self.field_shape, self.shifts, self.wrap,
                                self.shard_axis)

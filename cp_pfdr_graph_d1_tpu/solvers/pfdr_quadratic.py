@@ -255,6 +255,16 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     pre = initial_precondition(op, obs, graph, la_l1, opt.rho, lipsch, ltype)
     zu, zv = graph.gather_endpoints(x0)
 
+    # fused Pallas iteration (stencil graphs): one kernel for the edge +
+    # vertex stage instead of ~10F small XLA fusions
+    if opt.fused == "off" or not getattr(graph, "supports_fused", False):
+        fused_mode = None
+    elif opt.fused == "on":
+        fused_mode = "interpret" if jax.default_backend() != "tpu" else "tpu"
+    else:  # auto
+        fused_mode = ("tpu" if (jax.default_backend() == "tpu"
+                                and dtype == jnp.float32) else None)
+
     n_trace = opt.it_max + 1 if monitor else 1
     state = PFDRState(
         x=x0, zu=zu, zv=zv, pre=pre, x_prev=x0,
@@ -294,24 +304,31 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         else:
             pre, zu, zv, dif_rcd2 = s.pre, s.zu, s.zv, s.dif_rcd2
 
-        # forward step P = 2 X - Ga grad (:463-464)
-        p = 2.0 * s.x - pre.ga * grad
-        # per-edge d1 prox on auxiliary pairs, with relaxation rho (:466-489)
-        pxu, pxv = graph.gather_endpoints(jnp.stack([p, s.x], axis=-1))
-        au = pxu[..., 0] - zu
-        av = pxv[..., 0] - zv
-        pu, pv = d1_pair_prox(au, av, pre.w_d1u, pre.w_d1v, pre.th_d1)
-        zu = zu + rho * (pu - pxu[..., 1])
-        zv = zv + rho * (pv - pxv[..., 1])
-        # weighted average back to the iterate (:491-497)
-        x = graph.edge_to_vertex_sum(pre.wu * zu, pre.wv * zv)
-        # vertex prox (:499-512)
-        x = _vertex_prox(x, vprox, pre.th_l1)
+        if fused_mode is not None:
+            x, zu, zv, num, den = graph.fused_iteration(
+                s.x, grad, pre, zu, zv, float(opt.rho), vprox,
+                interpret=fused_mode == "interpret")
+        else:
+            # forward step P = 2 X - Ga grad (:463-464)
+            p = 2.0 * s.x - pre.ga * grad
+            # per-edge d1 prox on auxiliary pairs, with relaxation (:466-489)
+            pxu, pxv = graph.gather_endpoints(jnp.stack([p, s.x], axis=-1))
+            au = pxu[..., 0] - zu
+            av = pxv[..., 0] - zv
+            pu, pv = d1_pair_prox(au, av, pre.w_d1u, pre.w_d1v, pre.th_d1)
+            zu = zu + rho * (pu - pxu[..., 1])
+            zv = zv + rho * (pv - pxv[..., 1])
+            # weighted average back to the iterate (:491-497)
+            x = graph.edge_to_vertex_sum(pre.wu * zu, pre.wv * zv)
+            # vertex prox (:499-512)
+            x = _vertex_prox(x, vprox, pre.th_l1)
+            delta = x - s.x_prev
+            num = graph.vertex_allsum(delta * delta)
+            den = graph.vertex_allsum(x * x)
 
         # relative iterate evolution (:514-529)
-        delta = x - s.x_prev
-        num = graph.vertex_allsum(delta * delta).astype(dtype)
-        den = graph.vertex_allsum(x * x).astype(dtype)
+        num = num.astype(dtype)
+        den = den.astype(dtype)
         dif = jnp.where(den > eps, num / den, num / eps)
         dif_trace = s.dif_trace
         if monitor:

@@ -117,6 +117,40 @@ class StencilGraphD1(GraphD1):
             out = out + jnp.roll(vv[k], (dy, dx), axis=(0, 1))
         return out.reshape((self.num_vertices,) + vals_u.shape[1:])
 
+    # -- fused TPU iteration -------------------------------------------------
+
+    @property
+    def supports_fused(self):
+        """True when the fused single-block Pallas iteration kernel applies
+        (vertex-sharded halo subclasses override to False)."""
+        from .ops.stencil_fused import MAX_FUSED_FIELD_ELEMS
+        return self.num_vertices <= MAX_FUSED_FIELD_ELEMS
+
+    def fused_iteration(self, x, grad, pre, zu, zv, rho: float, vprox,
+                        interpret: bool):
+        """One fused edge+vertex PFDR step (see
+        :func:`..ops.stencil_fused.fused_stencil_iteration`)."""
+        from .ops.stencil_fused import fused_stencil_iteration
+        h, w = self.field_shape
+        f = len(self.shifts)
+
+        def rv(a):
+            return a.reshape(h, w)
+
+        def re(a):
+            return a.reshape(f, h, w)
+
+        xn, zun, zvn, num, den = fused_stencil_iteration(
+            rv(x), rv(grad), rv(pre.ga), rv(pre.th_l1),
+            re(zu), re(zv), re(pre.wu), re(pre.wv),
+            re(pre.w_d1u), re(pre.w_d1v), re(pre.th_d1),
+            shifts=self.shifts, rho=rho, vkind=vprox.kind,
+            positivity=vprox.positivity, lo=float(vprox.lo),
+            hi=float(vprox.hi), interpret=interpret)
+        e = self.num_edges
+        return (xn.reshape(-1), zun.reshape(e), zvn.reshape(e),
+                num, den)
+
     # -- pytree protocol ----------------------------------------------------
 
     def tree_flatten(self):

@@ -102,3 +102,53 @@ def test_cut_pursuit_on_stencil():
     r_c = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), cg,
                           la_l1=la_l1, opt=opt)
     np.testing.assert_allclose(r_s.rx[r_s.cv], r_c.rx[r_c.cv], atol=1e-6)
+
+
+@pytest.mark.parametrize("vprox", [
+    VertexProx(kind="l1"),
+    VertexProx(kind="l1", positivity=True),
+    VertexProx(kind="bounds", lo=-0.5, hi=0.8),
+    VertexProx(),
+])
+def test_fused_kernel_matches_jnp(vprox):
+    """The fused Pallas iteration (interpreted on CPU) must produce the
+    same solve as the unfused path: same iteration count, same iterates."""
+    sg, cg, keep = make_pair(seed=11, wrap=(False, True))
+    v = sg.num_vertices
+    r = np.random.default_rng(12)
+    a = r.normal(size=(24, v)) / 5.0
+    y = a @ r.normal(size=v)
+    lip = float(np.linalg.svd(a, compute_uv=False)[0] ** 2)
+    la_l1 = jnp.full((v,), 0.04) if vprox.kind == "l1" else None
+    base_opt = PFDROptions(rho=1.4, dif_tol=1e-9, it_max=700, fused="off")
+    fused_opt = PFDROptions(rho=1.4, dif_tol=1e-9, it_max=700, fused="on")
+    op = DenseOp(jnp.asarray(a))
+    obs = jnp.asarray(y)
+    base = pfdr_quadratic_d1(op, obs, sg, la_l1=la_l1, vprox=vprox,
+                             lipsch=lip, opt=base_opt)
+    fused = pfdr_quadratic_d1(op, obs, sg, la_l1=la_l1, vprox=vprox,
+                              lipsch=lip, opt=fused_opt)
+    assert int(fused.it) == int(base.it)
+    np.testing.assert_allclose(np.asarray(fused.x), np.asarray(base.x),
+                               rtol=0, atol=1e-13)
+
+
+def test_fused_kernel_wrapped_axes():
+    """Wrapped (periodic) fields exercise the kernel's circular shifts."""
+    sg, cg, keep = make_pair(seed=13, wrap=(True, True))
+    v = sg.num_vertices
+    r = np.random.default_rng(14)
+    a = r.normal(size=(16, v)) / 4.0
+    y = a @ r.normal(size=v)
+    lip = float(np.linalg.svd(a, compute_uv=False)[0] ** 2)
+    kw = dict(la_l1=jnp.full((v,), 0.03), vprox=VertexProx(kind="l1"),
+              lipsch=lip)
+    base = pfdr_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), sg,
+                             opt=PFDROptions(dif_tol=1e-9, it_max=500,
+                                             fused="off"), **kw)
+    fused = pfdr_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), sg,
+                              opt=PFDROptions(dif_tol=1e-9, it_max=500,
+                                              fused="on"), **kw)
+    assert int(fused.it) == int(base.it)
+    np.testing.assert_allclose(np.asarray(fused.x), np.asarray(base.x),
+                               rtol=0, atol=1e-13)
