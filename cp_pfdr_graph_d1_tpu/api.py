@@ -113,12 +113,22 @@ def cp_quadratic_d1_l1(Y, A, Eu, Ev, La_d1, La_l1=None, positivity=False,
     the COO construction and use its gather-free fast path; ``Eu``/``Ev``/
     ``La_d1`` are then ignored."""
     dtype = _dtype_of(Y, A)
-    a = jnp.asarray(np.asarray(A), dtype)
+    a_host = np.asarray(A)
+    # numpy, not device, below the host-small crossover: when the whole
+    # solve stays on the host, an eager device upload would be pure
+    # overhead; larger operators upload once here and stay device-resident
+    from .solvers.cut_pursuit import _HOST_OP_MAX_ELEMS
+    if a_host.size <= _HOST_OP_MAX_ELEMS:
+        a = np.asarray(a_host, dtype)
+    else:
+        a = jnp.asarray(a_host, dtype)
     g = graph if graph is not None else _graph(Eu, Ev, La_d1, a.shape[1],
                                                dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
                       PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
-    return _cp_run(DenseOp(a), jnp.asarray(np.asarray(Y), dtype), g, La_l1,
+    op = DenseOp(a)
+    op._host_a = np.asarray(a_host, np.float64)  # spare host-small a pull
+    return _cp_run(op, jnp.asarray(np.asarray(Y), dtype), g, La_l1,
                    positivity, None, duplex, opt, monitor, state)
 
 
@@ -132,11 +142,14 @@ def cp_quadratic_d1_l1_AtA(AtY, AtA, Eu, Ev, La_d1, La_l1=None,
     (``octave/mex/CP_PFDR_graph_quadratic_d1_l1_AtA_mex.cpp:61`` passes
     ``N = -V``)."""
     dtype = _dtype_of(AtY, AtA)
-    gram = jnp.asarray(np.asarray(AtA), dtype)
+    gram_host = np.asarray(AtA)
+    gram = jnp.asarray(gram_host, dtype)
     g = _graph(Eu, Ev, La_d1, gram.shape[1], dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
                       PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
-    return _cp_run(GramOp(gram), jnp.asarray(np.asarray(AtY), dtype), g,
+    op = GramOp(gram)
+    op._host_gram = np.asarray(gram_host, np.float64)
+    return _cp_run(op, jnp.asarray(np.asarray(AtY), dtype), g,
                    La_l1, positivity, None, duplex, opt, monitor, state)
 
 

@@ -69,12 +69,19 @@ class CPOptions:
       it_max: maximum number of cut-pursuit iterations (graph cuts).
       pfdr: options of the inner PFDR solver run on each reduced problem.
       verbose: 0 silences the solver, a positive value prints progress.
+      host_small: "auto" routes reduced problems below ``host_small_max``
+        components to the native C++ PFDR on the host whenever the main
+        backend is an accelerator (per-dispatch latency dwarfs the math of
+        a ~10..100-component solve); "on"/"off" force the choice.
+      host_small_max: component-count crossover for the native path.
     """
 
     dif_tol: float = 1e-3
     it_max: int = 10
     pfdr: PFDROptions = dataclasses.field(default_factory=PFDROptions)
     verbose: int = 0
+    host_small: str = "auto"
+    host_small_max: int = 1024
 
 
 # Parameters used by the reference cut-pursuit solvers for the power-method

@@ -27,14 +27,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import maxflow
+from .. import maxflow, native
 from ..config import CPOptions, Lipsch
 from ..graph import GraphD1
 from ..operators import DenseOp, DiagOp, GramOp, IdentityOp, QuadOp
 from .cut_pursuit_common import (ReducedGraph, bucket, build_reduced_graph,
-                                 connected_components, machine_eps,
-                                 pad_reduced_graph)
+                                 component_representatives,
+                                 connected_components, host_reduce_dense,
+                                 host_reduce_diag, host_reduce_gram,
+                                 machine_eps, pad_reduced_graph)
 from .pfdr_quadratic import VertexProx, pfdr_quadratic_d1
+
+# dense/Gram operators larger than this stay on device even when the
+# host-small path is active (the host gradient would be the bottleneck)
+_HOST_OP_MAX_ELEMS = 32 * 1024 * 1024
 
 
 class CPState(NamedTuple):
@@ -289,10 +295,50 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                             else np.zeros(num_v, dtype))
     la_l1_on = jnp.asarray(0.0 if la_l1 is None else 1.0, dtype)
 
+    # -- host-small routing: below the crossover, reduced problems solve on
+    # the host (native C++ PFDR) and the cut gradient is a host matvec,
+    # avoiding per-iteration device dispatch latency entirely
+    if opt.host_small == "off":
+        use_host = False
+    elif opt.host_small == "on":
+        use_host = native.available()
+    else:
+        use_host = (jax.default_backend() not in ("cpu",)
+                    and native.available())
+    a_np = gram_np = diag_np = a_t_np = None
+    y_np = None
+    if use_host:
+        y_np = np.asarray(obs, np.float64)
+        if isinstance(op, DenseOp) and op.a.size <= _HOST_OP_MAX_ELEMS:
+            # prefer a caller-provided host copy (the api layer attaches
+            # one) over a device download
+            a_np = getattr(op, "_host_a", None)
+            if a_np is None:
+                a_np = np.asarray(op.a, np.float64)
+            a_t_np = np.ascontiguousarray(a_np.T)
+        elif isinstance(op, GramOp) and op.gram.size <= _HOST_OP_MAX_ELEMS:
+            gram_np = getattr(op, "_host_gram", None)
+            if gram_np is None:
+                gram_np = np.asarray(op.gram, np.float64)
+        elif isinstance(op, DiagOp):
+            diag_np = np.asarray(op.diag, np.float64)
+        elif isinstance(op, IdentityOp):
+            diag_np = np.ones(num_v)
+        la_l1_64 = (np.asarray(la_l1, np.float64)
+                    if la_l1 is not None else None)
+
     # -- initialization: single component, scalar prox solve (:66-175) ------
     if state is None:
-        ry1, raa1 = map(float, jax.device_get(
-            jnp.stack(op.ones_image(num_v, obs_dev))))
+        if a_np is not None:
+            a1 = a_np.sum(axis=1)
+            ry1, raa1 = float(a1 @ y_np), float(a1 @ a1)
+        elif gram_np is not None:
+            ry1, raa1 = float(y_np.sum()), float(gram_np.sum())
+        elif diag_np is not None:
+            ry1, raa1 = float(y_np.sum()), float(diag_np.sum())
+        else:
+            ry1, raa1 = map(float, jax.device_get(
+                jnp.stack(op.ones_image(num_v, obs_dev))))
         if bounds is not None:
             x1 = min(max(ry1 / raa1, lo), hi)
         else:
@@ -328,8 +374,15 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         x_full = rx[cv]
 
         # -- steepest cut (:337-549) ---------------------------------------
-        dfs = np.array(jax.device_get(
-            _grad_smooth(op, obs_dev, jnp.asarray(x_full))), dtype)
+        if a_np is not None:
+            dfs = (a_np.T @ (a_np @ x_full - y_np)).astype(dtype)
+        elif gram_np is not None:
+            dfs = (gram_np @ x_full - y_np).astype(dtype)
+        elif diag_np is not None:
+            dfs = (diag_np * x_full - y_np).astype(dtype)
+        else:
+            dfs = np.array(jax.device_get(
+                _grad_smooth(op, obs_dev, jnp.asarray(x_full))), dtype)
         _d1_sign_terms(dfs, x_full, eu, ev, la_d1, active)
         if la_l1 is not None:
             dfs += np.sign(x_full) * la_l1
@@ -355,44 +408,90 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         num_comp, cv = connected_components(num_v, eu, ev,
                                             ~active & (la_d1 > 0))
         rg = build_reduced_graph(cv, num_comp, eu, ev, la_d1, active, eps)
-        rv_cap = bucket(num_comp)
-        re_cap = bucket(len(rg.eu))
-        reu, rev, rla = pad_reduced_graph(rg, rv_cap, re_cap)
-        rgraph = GraphD1.create(reu, rev, rla, num_vertices=rv_cap,
-                                dtype=obs_dev.dtype)
-        cv_dev = jnp.asarray(cv)
+        # warm start: every vertex of a component carries the same previous
+        # value, so any representative seeds the reduced solve (the
+        # reference also warm-starts PFDR with rX, :842-847)
+        rx0 = x_full[component_representatives(cv)]
 
-        # -- reduced operator + Lipschitz metric (:663-836) ----------------
-        if isinstance(op, DenseOp):
-            n_obs = op.a.shape[0]
-            pre_at = num_comp < (2 * n_obs * pfdr_it_prev) // (
-                n_obs + pfdr_it_prev)
-            mat, ry, lipsch = _reduce_dense(op.a, obs_dev, cv_dev, rv_cap,
-                                            pre_at)
-            r_op = GramOp(mat) if pre_at else DenseOp(mat)
-        elif isinstance(op, GramOp):
-            mat, ry, lipsch = _reduce_gram(op.gram, obs_dev, cv_dev, rv_cap)
-            r_op = GramOp(mat)
-        else:
-            diag = (op.diag if isinstance(op, DiagOp)
-                    else jnp.ones((num_v,), obs_dev.dtype))
-            rdiag, ry, lipsch = _reduce_diag(diag, obs_dev, cv_dev, rv_cap)
-            r_op = DiagOp(rdiag)
-
-        # reduced l1 weights: summed per component
-        if la_l1 is not None:
-            r_la_l1 = np.zeros(rv_cap, dtype)
-            np.add.at(r_la_l1, cv, la_l1)
-            r_la_l1 = jnp.asarray(r_la_l1)
-        else:
+        host_reduce = (use_host and num_comp <= opt.host_small_max
+                       and (a_np is not None or gram_np is not None
+                            or diag_np is not None))
+        if host_reduce:
+            # -- host pipeline: numpy reduce + native C++ PFDR ---------------
+            if a_np is not None:
+                n_obs = a_np.shape[0]
+                pre_at = num_comp < (2 * n_obs * pfdr_it_prev) // (
+                    n_obs + pfdr_it_prev)
+                mode, mat, ry, lipsch = host_reduce_dense(
+                    a_t_np, y_np, cv, num_comp, pre_at)
+            elif gram_np is not None:
+                mat, ry, lipsch = host_reduce_gram(gram_np, y_np, cv,
+                                                   num_comp)
+                mode = -1
+            else:
+                mat, ry, lipsch = host_reduce_diag(diag_np, y_np, cv,
+                                                   num_comp)
+                mode = 0
             r_la_l1 = None
+            if la_l1 is not None:
+                r_la_l1 = np.zeros(num_comp)
+                np.add.at(r_la_l1, cv, la_l1_64)
+            rx_new, pfdr_it = native.pfdr_quadratic_d1_host(
+                mode, mat, ry, rg.eu, rg.ev,
+                np.asarray(rg.la_d1, np.float64),
+                la_l1=r_la_l1,
+                positivity=vprox.positivity,
+                bounds=(lo, hi) if bounds is not None else None,
+                lip_diag=np.asarray(lipsch, np.float64),
+                rho=opt.pfdr.rho, cond_min=opt.pfdr.cond_min,
+                dif_rcd=opt.pfdr.dif_rcd, dif_tol=opt.pfdr.dif_tol,
+                it_max=opt.pfdr.it_max, x0=rx0)
+            pfdr_it_prev = max(pfdr_it, 1)
+            rx = rx_new.astype(dtype)
+        else:
+            rv_cap = bucket(num_comp)
+            re_cap = bucket(len(rg.eu))
+            reu, rev, rla = pad_reduced_graph(rg, rv_cap, re_cap)
+            rgraph = GraphD1.create(reu, rev, rla, num_vertices=rv_cap,
+                                    dtype=obs_dev.dtype)
+            cv_dev = jnp.asarray(cv)
 
-        # -- reduced PFDR solve (:842-859) ---------------------------------
-        res = pfdr_quadratic_d1(
-            r_op, ry, rgraph, la_l1=r_la_l1, vprox=vprox, lipsch=lipsch,
-            ltype=Lipsch.DIAG, opt=opt.pfdr)
-        pfdr_it_prev = max(int(res.it), 1)
-        rx = np.asarray(jax.device_get(res.x), dtype)[:num_comp]
+            # -- reduced operator + Lipschitz metric (:663-836) --------------
+            if isinstance(op, DenseOp):
+                n_obs = op.a.shape[0]
+                pre_at = num_comp < (2 * n_obs * pfdr_it_prev) // (
+                    n_obs + pfdr_it_prev)
+                mat, ry, lipsch = _reduce_dense(op.a, obs_dev, cv_dev,
+                                                rv_cap, pre_at)
+                r_op = GramOp(mat) if pre_at else DenseOp(mat)
+            elif isinstance(op, GramOp):
+                mat, ry, lipsch = _reduce_gram(op.gram, obs_dev, cv_dev,
+                                               rv_cap)
+                r_op = GramOp(mat)
+            else:
+                diag = (op.diag if isinstance(op, DiagOp)
+                        else jnp.ones((num_v,), obs_dev.dtype))
+                rdiag, ry, lipsch = _reduce_diag(diag, obs_dev, cv_dev,
+                                                 rv_cap)
+                r_op = DiagOp(rdiag)
+
+            # reduced l1 weights: summed per component
+            if la_l1 is not None:
+                r_la_l1 = np.zeros(rv_cap, dtype)
+                np.add.at(r_la_l1, cv, la_l1)
+                r_la_l1 = jnp.asarray(r_la_l1)
+            else:
+                r_la_l1 = None
+
+            x0_pad = np.zeros(rv_cap, dtype)
+            x0_pad[:num_comp] = rx0
+            # -- reduced PFDR solve (:842-859) -------------------------------
+            res = pfdr_quadratic_d1(
+                r_op, ry, rgraph, la_l1=r_la_l1, vprox=vprox,
+                lipsch=lipsch, ltype=Lipsch.DIAG,
+                x0=jnp.asarray(x0_pad), opt=opt.pfdr)
+            pfdr_it_prev = max(int(res.it), 1)
+            rx = np.asarray(jax.device_get(res.x), dtype)[:num_comp]
 
         # -- merge almost-equal neighboring components (:863-886) ----------
         x_full = rx[cv]

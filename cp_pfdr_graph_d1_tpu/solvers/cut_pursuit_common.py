@@ -110,3 +110,77 @@ def machine_eps(dtype, dif_tol: float) -> float:
     the machine epsilon, or dif_tol when it is a smaller positive value."""
     m = float(np.finfo(dtype).eps)
     return dif_tol if 0 < dif_tol < m else m
+
+
+# ---------------------------------------------------------------------------
+# host-side reduced pipeline (used below the native-solver crossover)
+# ---------------------------------------------------------------------------
+
+def host_operator_norm(gram_apply, dim: int, *, tol: float = 1e-3,
+                       it_max: int = 100, nb_init: int = 10) -> float:
+    """Numpy twin of ``ops.power_iter.operator_norm`` (same semantics:
+    batched restarts, relative convergence test, fixed seed)."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.0, 1.0, (dim, nb_init))
+    b = np.sqrt(np.sum(x * x, axis=0))
+    x = gram_apply(x / b)
+    b = np.sqrt(np.sum(x * x, axis=0))
+    for _ in range(it_max):
+        safe_b = np.where(b > 0, b, 1.0)
+        x = gram_apply(x / safe_b)
+        a = np.sqrt(np.sum(x * x, axis=0))
+        done = np.all((a - b) < tol * safe_b)
+        b = np.where(b > 0, a, 0.0)
+        if done:
+            break
+    return float(b.max())
+
+
+def host_reduce_dense(a_t, y_np, cv, num_comp: int, pre_at: bool):
+    """Numpy twin of the device ``_reduce_dense``: reduced operator,
+    observation and DIAG Lipschitz metric (Jacobi-equilibrated power
+    method), unpadded.  ``a_t`` is the CONTIGUOUS [V, N] transpose of the
+    design matrix (scipy copies non-contiguous operands on every call)."""
+    s = sp.csr_matrix(
+        (np.ones(len(cv)), (np.arange(len(cv)), cv)),
+        shape=(len(cv), num_comp))
+    ra = np.asarray(s.T @ a_t).T  # [N, rV] component column sums
+    if pre_at:
+        raa = ra.T @ ra
+        ry = ra.T @ y_np
+        d = np.sqrt(np.diagonal(raa))
+        d_safe = np.where(d > 0, d, 1.0)
+        eq = raa / (d_safe[:, None] * d_safe[None, :])
+        c = host_operator_norm(lambda x: eq @ x, num_comp)
+        return -1, raa, ry, np.diagonal(raa) * c
+    cn = np.sqrt(np.sum(ra * ra, axis=0))
+    cn_safe = np.where(cn > 0, cn, 1.0)
+    eq = ra / cn_safe
+    c = host_operator_norm(lambda x: eq.T @ (eq @ x), num_comp)
+    return ra.shape[0], ra, y_np, cn * cn * c
+
+
+def host_reduce_gram(gram_np, y_np, cv, num_comp: int):
+    s = sp.csr_matrix(
+        (np.ones(len(cv)), (np.arange(len(cv)), cv)),
+        shape=(len(cv), num_comp))
+    raa = np.asarray(s.T @ (s.T @ gram_np.T).T)
+    ry = np.asarray(s.T @ y_np)
+    d = np.sqrt(np.maximum(np.diagonal(raa), 0.0))
+    d_safe = np.where(d > 0, d, 1.0)
+    eq = raa / (d_safe[:, None] * d_safe[None, :])
+    c = host_operator_norm(lambda x: eq @ x, num_comp)
+    return raa, ry, np.diagonal(raa) * c
+
+
+def host_reduce_diag(diag_np, y_np, cv, num_comp: int):
+    rdiag = np.bincount(cv, weights=diag_np, minlength=num_comp)
+    ry = np.bincount(cv, weights=y_np, minlength=num_comp)
+    return rdiag, ry, rdiag
+
+
+def component_representatives(cv: np.ndarray):
+    """First-occurrence vertex index of each component label (labels are
+    assigned in first-encounter order, so unique() is aligned)."""
+    _, first = np.unique(cv, return_index=True)
+    return first
