@@ -19,7 +19,7 @@ import warnings
 import numpy as np
 
 _DIR = pathlib.Path(__file__).resolve().parent
-_SRC = _DIR / "pfdr.cpp"
+_SRCS = [_DIR / "pfdr.cpp", _DIR / "pfdr_simplex.cpp"]
 _SO = _DIR / "_libcppfdr.so"
 
 _lib = None
@@ -31,7 +31,7 @@ _I32 = np.ctypeslib.ndpointer(np.int32, flags="C")
 
 def _build():
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-           "-o", str(_SO), str(_SRC)]
+           "-o", str(_SO)] + [str(src) for src in _SRCS]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 
 
@@ -40,8 +40,9 @@ def _get_lib():
     if _lib is not None or _unavailable:
         return _lib
     try:
-        if (not _SO.exists()
-                or _SO.stat().st_mtime < _SRC.stat().st_mtime):
+        if (not _SO.exists() or any(
+                _SO.stat().st_mtime < src.stat().st_mtime
+                for src in _SRCS)):
             _build()
         lib = ctypes.CDLL(str(_SO))
         lib.native_pfdr_quadratic_d1.restype = ctypes.c_int
@@ -54,6 +55,16 @@ def _get_lib():
             ctypes.c_void_p,  # lip_diag (nullable)
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            _F64, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.native_pfdr_loss_d1_simplex.restype = ctypes.c_int
+        lib.native_pfdr_loss_d1_simplex.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            _F64,
+            ctypes.c_void_p,  # la_f (nullable)
+            _I32, _I32, _F64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int,
             _F64, ctypes.POINTER(ctypes.c_int),
         ]
         _lib = lib
@@ -123,3 +134,31 @@ def pfdr_quadratic_d1_host(op_mode: int, a, y, eu, ev, la_d1, *,
         float(dif_rcd), float(dif_tol), int(it_max), x,
         ctypes.byref(it))
     return x, int(it.value)
+
+
+def pfdr_loss_d1_simplex_host(q, al, eu, ev, la_d1, *, la_f=None,
+                              rho=1.0, cond_min=1e-3, dif_rcd=0.0,
+                              dif_tol=1e-4, it_max=10_000, p0=None):
+    """Host C++ multi-label PFDR solve (float64, [V, K] vertex-major).
+
+    Returns (p [V, K] float64, iterations)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native PFDR library unavailable")
+    q = np.ascontiguousarray(q, np.float64)
+    v, k = q.shape
+    eu = np.ascontiguousarray(eu, np.int32)
+    ev = np.ascontiguousarray(ev, np.int32)
+    la_d1 = np.ascontiguousarray(np.broadcast_to(la_d1, eu.shape),
+                                 np.float64)
+    if la_f is not None:
+        la_f = np.ascontiguousarray(np.broadcast_to(la_f, (v,)),
+                                    np.float64)
+    p = (np.full((v, k), 1.0 / k) if p0 is None
+         else np.ascontiguousarray(p0, np.float64).copy())
+    it = ctypes.c_int(0)
+    lib.native_pfdr_loss_d1_simplex(
+        v, len(eu), k, float(al), q, _ptr(la_f), eu, ev, la_d1,
+        float(rho), float(cond_min), float(dif_rcd), float(dif_tol),
+        int(it_max), p, ctypes.byref(it))
+    return p, int(it.value)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import maxflow
+from .. import maxflow, native
 from ..config import CPOptions
 from ..graph import GraphD1
 from .cut_pursuit_common import (build_reduced_graph, bucket,
@@ -142,6 +142,16 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
     difs = []
     q_dev = jnp.asarray(q)
 
+    # host-small routing: reduced multi-label problems below the crossover
+    # solve on the host (native C++ PFDR), avoiding device dispatch latency
+    if opt.host_small == "off":
+        use_host = False
+    elif opt.host_small == "on":
+        use_host = native.available()
+    else:
+        use_host = (jax.default_backend() not in ("cpu",)
+                    and native.available())
+
     def objective(rp_, cv_):
         p_full = jnp.asarray(rp_[cv_])
         return float(loss_objective(al, p_full, q_dev, None)
@@ -191,11 +201,8 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
         num_comp, cv = connected_components(num_v, eu, ev,
                                             ~active & (la_d1 > 0))
         rg = build_reduced_graph(cv, num_comp, eu, ev, la_d1, active, eps)
-        rv_cap = bucket(num_comp)
-        re_cap = bucket(len(rg.eu))
-        reu, rev, rla = pad_reduced_graph(rg, rv_cap, re_cap)
-        rgraph = GraphD1.create(reu, rev, rla, num_vertices=rv_cap,
-                                dtype=q_dev.dtype)
+        host_reduce = use_host and num_comp <= opt.host_small_max
+        rv_cap = num_comp if host_reduce else bucket(num_comp)
 
         # -- reduced observations (:733-766) -------------------------------
         qsum = np.zeros((rv_cap, k), dtype)
@@ -213,13 +220,29 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
             rp0 = rq.copy()
             rp0[num_comp:] = 1.0 / k
             rq[num_comp:] = 1.0 / k
-            rla_f = jnp.asarray(np.maximum(sizes, 0))
+            rla_f = np.maximum(sizes, 0)
 
         # -- reduced PFDR solve (:773-780) ---------------------------------
-        res = pfdr_loss_d1_simplex(
-            rgraph, jnp.asarray(rq), al=al, la_f=rla_f,
-            p0=jnp.asarray(rp0), opt=opt.pfdr)
-        rp = np.array(jax.device_get(res.p), dtype)[:num_comp]
+        if host_reduce:
+            rp_new, _ = native.pfdr_loss_d1_simplex_host(
+                np.asarray(rq, np.float64), al, rg.eu, rg.ev,
+                np.asarray(rg.la_d1, np.float64),
+                la_f=(np.asarray(rla_f, np.float64)
+                      if rla_f is not None else None),
+                rho=opt.pfdr.rho, cond_min=opt.pfdr.cond_min,
+                dif_rcd=opt.pfdr.dif_rcd, dif_tol=opt.pfdr.dif_tol,
+                it_max=opt.pfdr.it_max, p0=rp0)
+            rp = rp_new.astype(dtype)
+        else:
+            re_cap = bucket(len(rg.eu))
+            reu, rev, rla = pad_reduced_graph(rg, rv_cap, re_cap)
+            rgraph = GraphD1.create(reu, rev, rla, num_vertices=rv_cap,
+                                    dtype=q_dev.dtype)
+            res = pfdr_loss_d1_simplex(
+                rgraph, jnp.asarray(rq), al=al,
+                la_f=jnp.asarray(rla_f) if rla_f is not None else None,
+                p0=jnp.asarray(rp0), opt=opt.pfdr)
+            rp = np.array(jax.device_get(res.p), dtype)[:num_comp]
 
         # -- merge almost-equal components (:782-804) ----------------------
         p_full = rp[cv]

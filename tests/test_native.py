@@ -128,3 +128,66 @@ def test_cp_host_small_bounds():
         **kw)
     np.testing.assert_allclose(host.rx[host.cv], base.rx[base.cv],
                                atol=1e-6)
+
+
+def test_native_simplex_matches_jax():
+    """Native multi-label PFDR vs the JAX solver (all losses, la_f,
+    reconditioning, both stopping modes)."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import pfdr_loss_d1_simplex
+
+    h, w, k = 7, 8, 4
+    eu, ev, la = make_grid_graph(h, w, seed=8)
+    la = 0.3 * la
+    v = h * w
+    r = np.random.default_rng(9)
+    q = np.abs(r.normal(size=(v, k))) + 0.05
+    q /= q.sum(1, keepdims=True)
+    g = GraphD1.create(eu, ev, la, num_vertices=v, dtype=jnp.float64)
+    for al, la_f, dif_tol, dif_rcd in [(0.0, None, 1e-8, 0.0),
+                                       (1.0, 1.2, 1e-8, 1e-2),
+                                       (0.5, None, 1.0, 0.0)]:
+        opt = PFDROptions(rho=1.3, cond_min=1e-3, dif_rcd=dif_rcd,
+                          dif_tol=dif_tol, it_max=600)
+        laf_arr = np.full(v, la_f) if la_f is not None else None
+        res = pfdr_loss_d1_simplex(
+            g, jnp.asarray(q), al=al,
+            la_f=jnp.asarray(laf_arr) if laf_arr is not None else None,
+            opt=opt)
+        ph, ith = native.pfdr_loss_d1_simplex_host(
+            q, al, eu, ev, la, la_f=laf_arr, rho=1.3, cond_min=1e-3,
+            dif_rcd=dif_rcd, dif_tol=dif_tol, it_max=600)
+        assert ith == int(res.it), (al, ith, int(res.it))
+        np.testing.assert_allclose(ph, np.asarray(res.p), atol=1e-12,
+                                   err_msg=f"al={al}")
+
+
+def test_cp_simplex_host_small_matches_device():
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_simplex import (
+        cp_loss_d1_simplex)
+
+    h, w, k = 10, 10, 3
+    eu, ev, la = make_grid_graph(h, w, seed=10)
+    v = h * w
+    r = np.random.default_rng(11)
+    true = (np.arange(v) * k // v)
+    q = np.full((v, k), 0.2 / k)
+    q[np.arange(v), true] += 0.8
+    q += 0.1 * r.random((v, k))
+    q /= q.sum(1, keepdims=True)
+    g = GraphD1.create(eu, ev, 0.4 * la, num_vertices=v, dtype=jnp.float64)
+    pf = PFDROptions(rho=1.2, dif_tol=1e-9, it_max=3000)
+    base = cp_loss_d1_simplex(
+        g, jnp.asarray(q), al=0.5,
+        opt=CPOptions(dif_tol=1e-5, it_max=8, host_small="off", pfdr=pf))
+    host = cp_loss_d1_simplex(
+        g, jnp.asarray(q), al=0.5,
+        opt=CPOptions(dif_tol=1e-5, it_max=8, host_small="on", pfdr=pf))
+    # the two pipelines stop reduced solves on slightly different iterates
+    # (padded vs unpadded evolution normalization), so compare the
+    # labeling (the multi-label contract) plus a loose value check
+    np.testing.assert_array_equal(host.rp[host.cv].argmax(1),
+                                  base.rp[base.cv].argmax(1))
+    np.testing.assert_allclose(host.rp[host.cv], base.rp[base.cv],
+                               atol=5e-4)
