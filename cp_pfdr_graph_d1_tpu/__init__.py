@@ -7,14 +7,17 @@ total-variation regularized problems (fused LASSO, box-constrained quadratic,
 separable-loss simplex labeling).
 """
 
+from .banded_graph import BandedGraphD1
 from .config import CPOptions, Lipsch, PFDROptions
 from .graph import GraphD1
+from .stencil import StencilGraphD1
 from .operators import (DenseOp, DiagOp, GramOp, IdentityOp, QuadOp,
                         make_operator)
 from .solvers import (PFDRResult, SimplexResult, VertexProx,
                       pfdr_loss_d1_simplex, pfdr_quadratic_d1)
 
 __all__ = [
+    "BandedGraphD1", "StencilGraphD1",
     "CPOptions", "Lipsch", "PFDROptions", "GraphD1",
     "DenseOp", "DiagOp", "GramOp", "IdentityOp", "QuadOp", "make_operator",
     "PFDRResult", "SimplexResult", "VertexProx", "pfdr_loss_d1_simplex",
