@@ -25,6 +25,11 @@ import time
 
 import numpy as np
 
+# persistent compile cache: the 40k-iteration timing variant takes ~30 s to
+# compile; cache it across driver runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 V_SIDE = 140                 # V = 19600 ~ EEG cortical mesh size
 N_OBS = 91                   # EEG electrode count
 ITERS = 400                  # solution-check run (matches reference run)
