@@ -41,31 +41,25 @@ def proj_simplex_metric(x, metric, target=1.0):
 
     Solves ``min_p 1/2 sum_k (p_k - x_k)^2 / m_k  s.t.  p >= 0, sum p = a``.
     KKT gives ``p_k = max(0, x_k - la * m_k)`` with ``la`` the unique root of
-    ``sum_k max(0, x_k - la*m_k) = a``.  Sorting the breakpoints
-    ``t_k = x_k / m_k`` in decreasing order, the candidate multiplier for the
-    top-j active set is ``la_j = (cumsum(x)_j - a) / cumsum(m)_j`` and the
-    valid prefix is the largest ``j`` with ``t_(j) > la_j``.
-
-    Same fixed point as the reference's iterative thresholding
-    (``proj_simplex_metric.cpp:46-72``), computed exactly in one pass.
+    ``sum_k max(0, x_k - la*m_k) = a``.  Computed by the exact Michelot
+    active-set iteration — start all-active, repeatedly recompute
+    ``la = (sum_active x - a) / sum_active m`` and drop coordinates with
+    ``x - la*m <= 0`` — which converges in at most K-1 removals, so K
+    unrolled passes are exact.  This is the same scheme as the reference
+    (``proj_simplex_metric.cpp:46-72``) and, unlike a sort-based
+    formulation, uses only elementwise ops and K-axis reductions (sorts and
+    ``take_along_axis`` lower to serial gathers on TPU).
     """
     x = jnp.asarray(x)
     m = jnp.broadcast_to(jnp.asarray(metric, x.dtype), x.shape)
-    t = x / m
-    order = jnp.argsort(-t, axis=-1)
-    xs = jnp.take_along_axis(x, order, axis=-1)
-    ms = jnp.take_along_axis(m, order, axis=-1)
-    ts = jnp.take_along_axis(t, order, axis=-1)
-    cx = jnp.cumsum(xs, axis=-1)
-    cm = jnp.cumsum(ms, axis=-1)
-    la_j = (cx - target) / cm
-    valid = ts > la_j
-    # j* = index of the last valid prefix; prefix 0 is always valid unless all
-    # breakpoints tie degenerately, in which case the full set is used.
     k = x.shape[-1]
-    idx = jnp.arange(k)
-    j_star = jnp.max(jnp.where(valid, idx, 0), axis=-1, keepdims=True)
-    la = jnp.take_along_axis(la_j, j_star, axis=-1)
+    active = jnp.ones(x.shape, bool)
+    la = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    for _ in range(k):
+        sx = jnp.sum(jnp.where(active, x, 0), axis=-1, keepdims=True)
+        sm = jnp.sum(jnp.where(active, m, 0), axis=-1, keepdims=True)
+        la = (sx - target) / jnp.where(sm > 0, sm, 1)
+        active = active & (x - la * m > 0)
     return jnp.maximum(x - la * m, 0)
 
 
