@@ -209,6 +209,59 @@ def _ml_labels(p):
     return jnp.argmax(p, axis=-1)
 
 
+def _simplex_fused_loop(graph, q, p0, la_f, pre, *, al, opt, has_laf,
+                        label_mode, interpret):
+    """Whole-iteration fused Pallas loop (stencil graphs; no
+    reconditioning/monitoring — callers check)."""
+    from ..ops.stencil_fused_simplex import fused_stencil_simplex_iteration
+
+    h, w = graph.field_shape
+    f = len(graph.shifts)
+    k = q.shape[-1]
+    dtype = q.dtype
+    vcount = graph.num_vertices
+
+    def tv(a):  # [V, K] -> [K, H, W]
+        return a.T.reshape(k, h, w)
+
+    def te(a):  # [E, K] (family-major E = F*V) -> [F, K, H, W]
+        return a.reshape(f, h * w, k).transpose(0, 2, 1).reshape(f, k, h, w)
+
+    zu0, zv0 = graph.gather_endpoints(p0)
+    p3 = tv(p0)
+    q3 = tv(q)
+    laf3 = la_f.reshape(1, h, w) if has_laf else jnp.zeros((1, h, w), dtype)
+    ga3 = tv(pre.ga)
+    gap3 = tv(pre.ga_proj)
+    args_e = tuple(te(a) for a in (zu0, zv0, pre.wu, pre.wv, pre.w_d1u,
+                                   pre.w_d1v, pre.th_d1))
+    if label_mode:
+        prev = jnp.argmax(p3, axis=0).astype(dtype)[None]
+    else:
+        prev = p3
+
+    def cond(s):
+        p3, prev, zu, zv, dif, it = s
+        return jnp.logical_and(it < opt.it_max, dif >= opt.dif_tol)
+
+    def body(s):
+        p3, prev, zu, zv, dif, it = s
+        p3, prev, zu, zv, dif_sum = fused_stencil_simplex_iteration(
+            p3, q3, laf3, ga3, gap3, prev, zu, zv, *args_e[2:],
+            shifts=graph.shifts, rho=float(opt.rho), al=al,
+            has_laf=has_laf, label_mode=label_mode, interpret=interpret)
+        dif = dif_sum if label_mode else dif_sum / vcount
+        return p3, prev, zu, zv, dif, it + 1
+
+    state = (p3, prev, args_e[0], args_e[1],
+             jnp.asarray(max(opt.dif_tol, opt.dif_rcd), dtype),
+             jnp.asarray(0, jnp.int32))
+    p3, prev, zu, zv, dif, it = jax.lax.while_loop(cond, body, state)
+    p = p3.reshape(k, h * w).T
+    return SimplexResult(p=p, it=it, obj=jnp.zeros((1,), dtype),
+                         dif=jnp.zeros((1,), dtype))
+
+
 @partial(jax.jit, static_argnames=("al", "opt", "monitor", "has_laf"))
 def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
                        opt: PFDROptions, monitor: bool, has_laf: bool):
@@ -217,6 +270,21 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
     label_mode = opt.dif_tol >= 1.0
 
     pre = initial_precondition_simplex(al, laf, graph, q, p0, opt.rho)
+
+    # whole-iteration fused Pallas loop (stencil graphs, no recondition /
+    # monitor): ~30 XLA dispatches per iteration collapse into one kernel
+    if (opt.fused != "off" and opt.dif_rcd == 0 and not monitor
+            and getattr(graph, "supports_fused", False)):
+        if opt.fused == "on":
+            return _simplex_fused_loop(
+                graph, q, p0, la_f, pre, al=al, opt=opt, has_laf=has_laf,
+                label_mode=label_mode,
+                interpret=jax.default_backend() != "tpu")
+        if jax.default_backend() == "tpu" and dtype == jnp.float32:
+            return _simplex_fused_loop(
+                graph, q, p0, la_f, pre, al=al, opt=opt, has_laf=has_laf,
+                label_mode=label_mode, interpret=False)
+
     zu, zv = graph.gather_endpoints(p0)
     rho = jnp.asarray(opt.rho, dtype)
     vcount = graph.vertex_count_global()

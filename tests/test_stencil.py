@@ -152,3 +152,35 @@ def test_fused_kernel_wrapped_axes():
     assert int(fused.it) == int(base.it)
     np.testing.assert_allclose(np.asarray(fused.x), np.asarray(base.x),
                                rtol=0, atol=1e-13)
+
+
+@pytest.mark.parametrize("al,label_mode,la_f", [
+    (0.0, False, None),
+    (1.0, False, 0.8),
+    (0.5, False, None),
+    (0.5, True, None),
+])
+def test_fused_simplex_matches_jnp(al, label_mode, la_f):
+    """The fused multi-label Pallas iteration (interpreted on CPU) must
+    reproduce the unfused solve."""
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import pfdr_loss_d1_simplex
+
+    sg, cg, keep = make_pair(seed=21, wrap=(False, True))
+    v = sg.num_vertices
+    k = 4
+    r = np.random.default_rng(22)
+    q = np.abs(r.normal(size=(v, k))) + 0.05
+    q /= q.sum(1, keepdims=True)
+    laf = np.full(v, la_f) if la_f is not None else None
+    dif_tol = 1.0 if label_mode else 1e-9
+    base = pfdr_loss_d1_simplex(
+        sg, jnp.asarray(q), al=al,
+        la_f=jnp.asarray(laf) if laf is not None else None,
+        opt=PFDROptions(rho=1.3, dif_tol=dif_tol, it_max=400, fused="off"))
+    fused = pfdr_loss_d1_simplex(
+        sg, jnp.asarray(q), al=al,
+        la_f=jnp.asarray(laf) if laf is not None else None,
+        opt=PFDROptions(rho=1.3, dif_tol=dif_tol, it_max=400, fused="on"))
+    assert int(fused.it) == int(base.it)
+    np.testing.assert_allclose(np.asarray(fused.p), np.asarray(base.p),
+                               rtol=0, atol=1e-12)
