@@ -28,7 +28,7 @@ return ``(X, it, Obj, Dif)``.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,7 +36,7 @@ import numpy as np
 from .config import CPOptions, Lipsch, PFDROptions
 from .graph import GraphD1
 from .operators import DenseOp, DiagOp, GramOp, IdentityOp
-from .solvers.cut_pursuit import CPState, cp_quadratic_d1
+from .solvers.cut_pursuit import cp_quadratic_d1
 from .solvers.cut_pursuit_simplex import CPSimplexState, cp_loss_d1_simplex \
     as _cp_simplex
 from .solvers.pfdr_quadratic import VertexProx, pfdr_quadratic_d1

@@ -11,7 +11,6 @@ implementation in Python when no C++ toolchain is available.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 import warnings

@@ -31,7 +31,7 @@ from .. import maxflow, native
 from ..config import CPOptions, Lipsch
 from ..graph import GraphD1
 from ..operators import DenseOp, DiagOp, GramOp, IdentityOp, QuadOp
-from .cut_pursuit_common import (ReducedGraph, bucket, build_reduced_graph,
+from .cut_pursuit_common import (bucket, build_reduced_graph,
                                  component_representatives,
                                  connected_components, host_reduce_dense,
                                  host_reduce_diag, host_reduce_gram,

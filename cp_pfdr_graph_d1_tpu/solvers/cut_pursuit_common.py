@@ -17,7 +17,6 @@ same-component active edges, and eps self-loops for isolated components
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 import scipy.sparse as sp

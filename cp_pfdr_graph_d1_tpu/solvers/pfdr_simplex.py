@@ -16,13 +16,15 @@ with the loss keyed on the scalar ``al`` exactly as the reference
 
 State is laid out vertex-major ``[V, K]`` (same memory convention as the
 reference's ``P[v*K+k]``), giving clean [E, K] edge slabs on the VPU; the
-per-vertex prox is the exact sort-based simplex projection in the metric
-``Gamma`` (:mod:`..ops.prox`).
+per-vertex prox is the exact (Michelot active-set) simplex projection in
+the metric ``Gamma`` (:mod:`..ops.prox`).  On TPU stencil graphs the whole
+iteration runs as one fused Pallas kernel
+(:mod:`..ops.stencil_fused_simplex`).
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

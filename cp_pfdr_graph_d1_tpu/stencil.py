@@ -19,7 +19,7 @@ host-side cut-pursuit stages, which are layout-agnostic.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

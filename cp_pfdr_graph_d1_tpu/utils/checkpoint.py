@@ -10,7 +10,6 @@ argument.
 """
 from __future__ import annotations
 
-import pathlib
 
 import numpy as np
 
