@@ -37,6 +37,8 @@ from . import _oracle  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "oracle: test requires the compiled reference library")
+    config.addinivalue_line(
+        "markers", "slow: example-scale acceptance test")
 
 
 def pytest_collection_modifyitems(config, items):
