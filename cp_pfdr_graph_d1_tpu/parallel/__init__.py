@@ -1,3 +1,4 @@
+from .cp_dist import cp_quadratic_d1_dist, shard_cp_quadratic_problem
 from .dp import (DistDenseOp, ShardedQuadraticProblem,
                  ShardedSimplexProblem, pfdr_loss_d1_simplex_sharded,
                  pfdr_quadratic_d1_sharded, shard_quadratic_problem,
@@ -7,7 +8,8 @@ from .halo import (ColShardDenseOp, HaloSimplexProblem, HaloStencilGraphD1,
                    shard_stencil_problem, shard_stencil_simplex_problem)
 from .mesh import make_mesh
 
-__all__ = ["DistDenseOp", "ShardedQuadraticProblem",
+__all__ = ["cp_quadratic_d1_dist", "shard_cp_quadratic_problem",
+           "DistDenseOp", "ShardedQuadraticProblem",
            "ShardedSimplexProblem", "make_mesh",
            "pfdr_loss_d1_simplex_sharded", "pfdr_quadratic_d1_sharded",
            "shard_quadratic_problem", "shard_simplex_problem",

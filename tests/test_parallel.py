@@ -217,3 +217,124 @@ def test_halo_wrapped_axis0():
     res = pfdr_quadratic_d1_halo(prob, mesh, lipsch=lip, opt=opt)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(base.x),
                                atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# distributed cut-pursuit (GSPMD operator sharding, parallel/cp_dist.py)
+# ---------------------------------------------------------------------------
+
+def _cp_problem(h=8, w=8, n=91, seed=3):
+    """Piecewise-constant fused-LASSO problem; n=91 exercises the
+    observation-axis zero padding (91 % 8 != 0)."""
+    v = h * w
+    eu, ev, la = make_grid_graph(h, w, seed=seed)
+    r = np.random.default_rng(seed + 700)
+    a = r.normal(size=(n, v)) / np.sqrt(n)
+    x_true = np.zeros((h, w))
+    x_true[1:4, 1:4] = 1.5
+    x_true[5:7, 4:7] = -2.0
+    y = a @ x_true.ravel() + 0.02 * r.normal(size=n)
+    return eu, ev, 0.3 * la, a, y
+
+
+def test_cp_dist_dense_matches_single_device():
+    import dataclasses
+
+    from cp_pfdr_graph_d1_tpu import CPOptions
+    from cp_pfdr_graph_d1_tpu.parallel import cp_quadratic_d1_dist
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+
+    eu, ev, la, a, y = _cp_problem()
+    v = a.shape[1]
+    la_l1 = np.full(v, 0.02)
+    graph = GraphD1.create(eu, ev, la, dtype=jnp.float64)
+    opt = CPOptions(dif_tol=1e-5, it_max=10,
+                    pfdr=PFDROptions(rho=1.5, dif_tol=1e-9, it_max=5000))
+
+    base = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
+        opt=dataclasses.replace(opt, host_small="off"), monitor=True)
+
+    mesh = make_mesh(8)
+    res = cp_quadratic_d1_dist(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, mesh,
+        la_l1=la_l1, opt=opt, monitor=True)
+
+    assert res.it == base.it
+    np.testing.assert_array_equal(np.asarray(res.cv), np.asarray(base.cv))
+    np.testing.assert_allclose(np.asarray(res.rx), np.asarray(base.rx),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(res.obj, base.obj, rtol=1e-9)
+
+
+def test_cp_dist_dense_positivity_duplex():
+    from cp_pfdr_graph_d1_tpu import CPOptions
+    from cp_pfdr_graph_d1_tpu.parallel import cp_quadratic_d1_dist
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+
+    eu, ev, la, a, y = _cp_problem(seed=5)
+    v = a.shape[1]
+    la_l1 = np.full(v, 0.05)
+    graph = GraphD1.create(eu, ev, la, dtype=jnp.float64)
+    opt = CPOptions(dif_tol=1e-5, it_max=8, host_small="off",
+                    pfdr=PFDROptions(dif_tol=1e-9, it_max=5000))
+
+    base = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
+        positivity=True, duplex=True, opt=opt)
+    res = cp_quadratic_d1_dist(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, make_mesh(8),
+        la_l1=la_l1, positivity=True, duplex=True, opt=opt)
+
+    np.testing.assert_allclose(np.asarray(res.rx)[np.asarray(res.cv)],
+                               np.asarray(base.rx)[np.asarray(base.cv)],
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_cp_dist_gram_matches_single_device():
+    from cp_pfdr_graph_d1_tpu import CPOptions, GramOp
+    from cp_pfdr_graph_d1_tpu.parallel import cp_quadratic_d1_dist
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+
+    eu, ev, la, a, y = _cp_problem(n=128, seed=7)  # AtA path: N >= V
+    gram = a.T @ a
+    aty = a.T @ y
+    v = a.shape[1]
+    assert v % 8 == 0
+    la_l1 = np.full(v, 0.02)
+    graph = GraphD1.create(eu, ev, la, dtype=jnp.float64)
+    opt = CPOptions(dif_tol=1e-5, it_max=8, host_small="off",
+                    pfdr=PFDROptions(dif_tol=1e-9, it_max=5000))
+
+    base = cp_quadratic_d1(GramOp(jnp.asarray(gram)), jnp.asarray(aty),
+                           graph, la_l1=la_l1, opt=opt)
+    res = cp_quadratic_d1_dist(GramOp(jnp.asarray(gram)), jnp.asarray(aty),
+                               graph, make_mesh(8), la_l1=la_l1, opt=opt)
+
+    np.testing.assert_array_equal(np.asarray(res.cv), np.asarray(base.cv))
+    np.testing.assert_allclose(np.asarray(res.rx), np.asarray(base.rx),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_cp_dist_gram_indivisible_raises():
+    from cp_pfdr_graph_d1_tpu import GramOp
+    from cp_pfdr_graph_d1_tpu.parallel import shard_cp_quadratic_problem
+
+    g = np.eye(10)
+    with pytest.raises(ValueError, match="divisible"):
+        shard_cp_quadratic_problem(GramOp(jnp.asarray(g)), np.ones(10),
+                                   make_mesh(8))
+
+
+def test_cp_dist_operator_is_sharded():
+    """The placement helper must actually distribute the operator rows."""
+    from cp_pfdr_graph_d1_tpu.parallel import shard_cp_quadratic_problem
+
+    eu, ev, la, a, y = _cp_problem()
+    mesh = make_mesh(8)
+    op, obs = shard_cp_quadratic_problem(DenseOp(jnp.asarray(a)), y, mesh)
+    assert op.a.shape[0] % 8 == 0
+    assert len(op.a.sharding.device_set) == 8
+    # each device holds one row block, not a replica
+    shard_rows = {s.data.shape[0] for s in op.a.addressable_shards}
+    assert shard_rows == {op.a.shape[0] // 8}
