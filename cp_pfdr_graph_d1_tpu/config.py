@@ -74,6 +74,12 @@ class CPOptions:
         backend is an accelerator (per-dispatch latency dwarfs the math of
         a ~10..100-component solve); "on"/"off" force the choice.
       host_small_max: component-count crossover for the native path.
+      cut: "host" solves the steepest binary cuts with the native
+        push-relabel on the host; "device" solves them on the accelerator
+        via the certified binary-TV relaxation
+        (:mod:`..maxflow.device`) — no host round trip of the graph, for
+        full graphs that live on device.  The duplex ternary cut and the
+        multi-label alpha-expansion always use the host solver.
     """
 
     dif_tol: float = 1e-3
@@ -82,6 +88,7 @@ class CPOptions:
     verbose: int = 0
     host_small: str = "auto"
     host_small_max: int = 1024
+    cut: str = "host"
 
 
 # Parameters used by the reference cut-pursuit solvers for the power-method

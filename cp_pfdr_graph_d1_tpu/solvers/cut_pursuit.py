@@ -154,17 +154,19 @@ class _GramApply:
 # ---------------------------------------------------------------------------
 
 def _steepest_cut(dfs, x_full, eu, ev, la_d1, active, la_l1, positivity,
-                  lo, hi, differentiable):
+                  lo, hi, differentiable, min_cut_fn=None):
     """Runs the one or two min-cuts of a CP iteration; returns the updated
     active mask and the number of newly activated edges
     (``CP_PFDR_graph_quadratic_d1_l1.cpp:410-549`` and the bounds analog
     ``CP_PFDR_graph_quadratic_d1_bounds.cpp:390-532``)."""
+    if min_cut_fn is None:
+        min_cut_fn = maxflow.min_cut
     inact = ~active
     ieu, iev, ila = eu[inact], ev[inact], la_d1[inact]
     num_v = len(dfs)
 
     def cut(c):
-        side = maxflow.min_cut(num_v, ieu, iev, ila, c)
+        side = min_cut_fn(num_v, ieu, iev, ila, c)
         return side[ieu] != side[iev]
 
     if differentiable:
@@ -291,6 +293,13 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     eps = machine_eps(dtype, opt.dif_tol)
     dif_tol2 = opt.dif_tol * opt.dif_tol
 
+    if opt.cut == "device":
+        from ..maxflow.device import min_cut_device as min_cut_fn
+    elif opt.cut == "host":
+        min_cut_fn = maxflow.min_cut
+    else:
+        raise ValueError(f"unknown cut backend {opt.cut!r}")
+
     la_l1_dev = jnp.asarray(la_l1 if la_l1 is not None
                             else np.zeros(num_v, dtype))
     la_l1_on = jnp.asarray(0.0 if la_l1 is None else 1.0, dtype)
@@ -392,7 +401,7 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         else:
             active, n_new = _steepest_cut(
                 dfs, x_full, eu, ev, la_d1, active, la_l1, positivity, lo,
-                hi, differentiable)
+                hi, differentiable, min_cut_fn=min_cut_fn)
 
         if n_new == 0:  # nothing to recompute (:556-563)
             difs.append(0.0)

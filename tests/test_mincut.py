@@ -82,3 +82,100 @@ def test_larger_random_graph_against_fallback():
     fallback = maxflow._min_cut_python(n, eu, ev, w, c)
     assert energy(native, eu, ev, w, c) == pytest.approx(
         energy(fallback, eu, ev, w, c), abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# device-resident min-cut (certified binary-TV relaxation, maxflow/device.py)
+# ---------------------------------------------------------------------------
+
+def test_device_cut_matches_host_random():
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import maxflow
+    from cp_pfdr_graph_d1_tpu.maxflow.device import (cut_value,
+                                                     min_cut_device)
+
+    r = np.random.default_rng(11)
+    for trial in range(10):
+        v = int(r.integers(6, 40))
+        e = int(r.integers(v, 3 * v))
+        eu = r.integers(0, v, e).astype(np.int32)
+        ev = r.integers(0, v, e).astype(np.int32)
+        keep = eu != ev
+        eu, ev = eu[keep], ev[keep]
+        w = r.random(len(eu)) * 2
+        c = r.normal(size=v) * 3
+        host = maxflow.min_cut(v, eu, ev, w, c)
+        dev = min_cut_device(v, eu, ev, w, c, dtype=jnp.float64, tol=1e-9)
+        assert cut_value(eu, ev, w, c, dev) <= \
+            cut_value(eu, ev, w, c, host) + 1e-7, f"trial {trial}"
+
+
+def test_device_cut_infinite_costs():
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu.maxflow.device import min_cut_device
+
+    # a path graph where vertex 0 is forced out of U and vertex 3 into it
+    eu = np.array([0, 1, 2], np.int32)
+    ev = np.array([1, 2, 3], np.int32)
+    w = np.array([0.5, 0.01, 0.5])
+    c = np.array([np.inf, 0.1, -0.1, -np.inf])
+    side = min_cut_device(4, eu, ev, w, c, dtype=jnp.float64, tol=1e-9)
+    assert side[0] == 0 and side[3] == 1
+    # the cheap middle edge is the optimal boundary
+    assert side.tolist() == [0, 0, 1, 1]
+
+
+def test_device_cut_grid_value():
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import maxflow
+    from cp_pfdr_graph_d1_tpu.maxflow.device import (cut_value,
+                                                     min_cut_device)
+    from .conftest import make_grid_graph
+
+    h = w_ = 12
+    eu, ev, la = make_grid_graph(h, w_, seed=4)
+    la = 0.3 * la
+    r = np.random.default_rng(5)
+    c = r.normal(size=h * w_)
+    host = maxflow.min_cut(h * w_, eu, ev, la, c)
+    dev = min_cut_device(h * w_, eu, ev, la, c, dtype=jnp.float64,
+                         tol=1e-9)
+    assert abs(cut_value(eu, ev, la, c, dev)
+               - cut_value(eu, ev, la, c, host)) < 1e-7
+
+
+def test_cut_pursuit_with_device_cut():
+    """cp_quadratic_d1(cut="device") reaches the host-cut solution."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import CPOptions, DenseOp, GraphD1, \
+        PFDROptions
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+    from .conftest import make_grid_graph
+
+    h = w_ = 8
+    v = h * w_
+    eu, ev, la = make_grid_graph(h, w_, seed=9)
+    r = np.random.default_rng(17)
+    a = r.normal(size=(30, v)) / np.sqrt(30)
+    x_true = np.zeros((h, w_))
+    x_true[1:4, 1:4] = 1.5
+    x_true[5:7, 4:7] = -2.0
+    y = a @ x_true.ravel() + 0.02 * r.normal(size=30)
+    la_l1 = np.full(v, 0.02)
+    graph = GraphD1.create(eu, ev, 0.3 * la, dtype=jnp.float64)
+    pfdr = PFDROptions(rho=1.5, dif_tol=1e-9, it_max=5000)
+
+    base = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
+        opt=CPOptions(dif_tol=1e-5, it_max=10, pfdr=pfdr, cut="host"))
+    res = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
+        opt=CPOptions(dif_tol=1e-5, it_max=10, pfdr=pfdr, cut="device"))
+
+    np.testing.assert_allclose(np.asarray(res.rx)[np.asarray(res.cv)],
+                               np.asarray(base.rx)[np.asarray(base.cv)],
+                               atol=1e-6)
