@@ -105,3 +105,53 @@ def test_graph_edge_to_vertex_sum_2d():
     np.add.at(expect, eu, vu)
     np.add.at(expect, ev, vv)
     np.testing.assert_allclose(out, expect, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# device-resident connected components (ops/components.py)
+# ---------------------------------------------------------------------------
+
+def test_device_components_match_scipy():
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import GraphD1
+    from cp_pfdr_graph_d1_tpu.ops.components import (
+        compact_labels, connected_components_device)
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_common import (
+        connected_components)
+
+    r = np.random.default_rng(23)
+    for trial in range(6):
+        v = int(r.integers(10, 200))
+        e = int(r.integers(v // 2, 2 * v))
+        eu = r.integers(0, v, e).astype(np.int32)
+        ev = r.integers(0, v, e).astype(np.int32)
+        mask = r.random(e) < 0.6
+        graph = GraphD1.create(eu, ev, np.ones(e), num_vertices=v,
+                               dtype=jnp.float64)
+        roots = connected_components_device(graph, jnp.asarray(mask))
+        n_dev, cv_dev = compact_labels(np.asarray(roots))
+        n_ref, cv_ref = connected_components(v, eu, ev, mask)
+        assert n_dev == n_ref, f"trial {trial}"
+        np.testing.assert_array_equal(cv_dev, cv_ref)
+
+
+def test_device_components_long_path():
+    """A V-long path is the propagation worst case: needs the jumping."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import GraphD1
+    from cp_pfdr_graph_d1_tpu.ops.components import (
+        compact_labels, connected_components_device)
+
+    v = 512
+    eu = np.arange(v - 1, dtype=np.int32)
+    ev = eu + 1
+    graph = GraphD1.create(eu, ev, np.ones(v - 1), num_vertices=v,
+                           dtype=jnp.float64)
+    mask = np.ones(v - 1, bool)
+    mask[200] = False  # split into two components
+    roots = connected_components_device(graph, jnp.asarray(mask))
+    n, cv = compact_labels(np.asarray(roots))
+    assert n == 2
+    assert (cv[:201] == 0).all() and (cv[201:] == 1).all()
