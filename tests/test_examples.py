@@ -25,3 +25,13 @@ def test_labeling_example_denoises():
     acc_in, acc_out = ex.main()
     assert acc_out >= acc_in + 0.2  # regularization must add real accuracy
     assert acc_out >= 0.85
+
+
+@pytest.mark.slow
+def test_distributed_example_agrees():
+    import examples.example_distributed as ex
+
+    # runs on the test session's virtual 8-device CPU mesh; the example
+    # itself asserts all three distributed paths match the single-device
+    # solve and that cut-pursuit recovers the support
+    ex.main()
