@@ -78,8 +78,9 @@ class CPOptions:
         push-relabel on the host; "device" solves them on the accelerator
         via the certified binary-TV relaxation
         (:mod:`..maxflow.device`) — no host round trip of the graph, for
-        full graphs that live on device.  The duplex ternary cut and the
-        multi-label alpha-expansion always use the host solver.
+        full graphs that live on device; applies to the quadratic
+        steepest cuts and the multi-label alpha-expansion cuts.  The
+        duplex ternary cut always uses the host solver (directed arcs).
     """
 
     dif_tol: float = 1e-3

@@ -59,9 +59,12 @@ def _loss_grad_np(al, p_full, q, la_f=None):
     return -(al_k + al_1 * q) / (al_k / al_1 + p_full)
 
 
-def _alpha_expansion_cuts(dfs, rdi, cv, eu, ev, la_d1, active, eps):
+def _alpha_expansion_cuts(dfs, rdi, cv, eu, ev, la_d1, active, eps,
+                          min_cut_fn=None):
     """Runs the K-1 binary expansion cuts; returns the per-vertex final
     descent counters ``djv`` (:522-606)."""
+    if min_cut_fn is None:
+        min_cut_fn = maxflow.min_cut
     num_v, k = dfs.shape
     djv = np.zeros(num_v, np.int32)
     # only inactive edges carry capacity; active ones get zero (:563-566)
@@ -85,7 +88,7 @@ def _alpha_expansion_cuts(dfs, rdi, cv, eu, ev, la_d1, active, eps):
         credit = np.where(same, 0.0, ila)
         np.subtract.at(theta, ieu, credit)
         np.subtract.at(theta, iev, credit)
-        side = maxflow.min_cut(num_v, ieu, iev, w, theta)
+        side = min_cut_fn(num_v, ieu, iev, w, theta)
         djv[side.astype(bool)] = n
     return djv
 
@@ -121,6 +124,13 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
     ptol = opt.pfdr.dif_tol / num_v if opt.pfdr.dif_tol >= 1 \
         else opt.pfdr.dif_tol
     eps = machine_eps(dtype, min(tol_scale, ptol))
+
+    if opt.cut == "device":
+        from ..maxflow.device import min_cut_device as min_cut_fn
+    elif opt.cut == "host":
+        min_cut_fn = maxflow.min_cut
+    else:
+        raise ValueError(f"unknown cut backend {opt.cut!r}")
 
     # -- initialization: unisimplicial solution (:66-148) -------------------
     if state is None:
@@ -182,7 +192,7 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
         # -- alpha-expansion cuts (:522-606) -------------------------------
         rdi = np.argmax(rp, axis=1).astype(np.int32)
         djv = _alpha_expansion_cuts(dfs, rdi, cv, eu, ev, la_d1, active,
-                                    eps)
+                                    eps, min_cut_fn=min_cut_fn)
         inact = ~active
         sep = inact & (djv[eu] != djv[ev])
         n_new = int(sep.sum())

@@ -77,3 +77,20 @@ def test_denoises_label_field():
     assert res.obj[-1] <= res.obj[0]
     # contraction achieved
     assert res.rp.shape[0] < q.shape[0] // 2
+
+
+def test_device_cut_matches_host_simplex():
+    """Alpha-expansion with the device min-cut reaches the host-cut
+    labeling (CPOptions(cut="device"))."""
+    eu, ev, la, q, _ = make_problem(seed=4)
+    graph = GraphD1.create(eu, ev, la, dtype=jnp.float64)
+    pfdr = PFDROptions(rho=1.2, dif_tol=1e-8, it_max=5000)
+    base = cp_loss_d1_simplex(
+        graph, jnp.asarray(q, jnp.float64), al=0.5,
+        opt=CPOptions(dif_tol=1e-4, it_max=8, pfdr=pfdr, cut="host"))
+    res = cp_loss_d1_simplex(
+        graph, jnp.asarray(q, jnp.float64), al=0.5,
+        opt=CPOptions(dif_tol=1e-4, it_max=8, pfdr=pfdr, cut="device"))
+    ml_base = np.argmax(np.asarray(base.rp)[np.asarray(base.cv)], axis=1)
+    ml_dev = np.argmax(np.asarray(res.rp)[np.asarray(res.cv)], axis=1)
+    np.testing.assert_array_equal(ml_dev, ml_base)
