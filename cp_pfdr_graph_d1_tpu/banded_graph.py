@@ -81,6 +81,47 @@ class BandedGraphD1(GraphD1):
         return cls(jnp.asarray(eu_p), jnp.asarray(ev_p), jnp.asarray(la_p),
                    num_vertices, dev_plan, mode)
 
+    # -- fused single-kernel PFDR iteration ----------------------------------
+
+    @property
+    def supports_fused(self):
+        """True when the fused whole-iteration kernel applies (see
+        :mod:`.ops.banded_fused`); distributed (axis_name) graphs and the
+        pure-jnp mode fall back to the staged path."""
+        from .ops.banded_fused import MAX_FUSED_VERTICES
+        return (self.mode != "jnp" and self.axis_name is None
+                and self.num_vertices <= MAX_FUSED_VERTICES)
+
+    def fused_iteration(self, x, grad, pre, zu, zv, rho: float, vprox,
+                        interpret: bool):
+        """One fused edge+vertex PFDR step (one ``pallas_call`` over the
+        banded edge tiles; see :func:`.ops.banded_fused
+        .fused_banded_iteration`)."""
+        from .ops.banded import _to_dense_v
+        from .ops.banded_fused import fused_banded_iteration
+        p = self.plan
+        t8 = p.tile // 128
+        eshape = (p.num_tiles * t8, 128)
+
+        def re(a):
+            return a.reshape(eshape)
+
+        def rv(a):
+            return _to_dense_v(jnp.broadcast_to(a, (self.num_vertices,)), p.v8)
+
+        xn, zun, zvn, num, den = fused_banded_iteration(
+            p.starts8, p.lur, p.lul, p.lvr, p.lvl,
+            re(zu), re(zv), re(pre.wu), re(pre.wv),
+            re(pre.w_d1u), re(pre.w_d1v), re(pre.th_d1),
+            rv(x), rv(grad), rv(pre.ga), rv(pre.th_l1),
+            nt=p.num_tiles, tile=p.tile, wd8=p.wd8, v8=p.v8,
+            nv=self.num_vertices, rho=float(rho), vkind=vprox.kind,
+            positivity=vprox.positivity, lo=float(vprox.lo),
+            hi=float(vprox.hi), interpret=interpret)
+        e = self.num_edges
+        return (xn.reshape(-1)[:self.num_vertices],
+                zun.reshape(e), zvn.reshape(e), num, den)
+
     # -- kernel dispatch -----------------------------------------------------
 
     def _use_kernel(self, op: str):

@@ -108,3 +108,39 @@ def test_rcm_reduces_bandwidth():
     bw_before = np.abs(eu_s.astype(int) - ev_s).max()
     bw_after = np.abs(inv[eu_s].astype(int) - inv[ev_s]).max()
     assert bw_after < bw_before
+
+
+@pytest.mark.parametrize("vprox", [
+    VertexProx(kind="l1"),
+    VertexProx(kind="l1", positivity=True),
+    VertexProx(kind="bounds", lo=-0.5, hi=1.2),
+    VertexProx(kind="none"),
+])
+def test_banded_fused_matches_plain(vprox):
+    """The fused whole-iteration banded kernel (interpreted on CPU) must
+    produce the same solve as the plain container's unfused path."""
+    eu, ev, la = irregular_graph(seed=8)
+    v = 500
+    la = 0.15 * la
+    r = np.random.default_rng(9)
+    a = r.normal(size=(32, v)) / np.sqrt(32)
+    y = a @ r.normal(size=v)
+    lip = float(np.linalg.svd(a, compute_uv=False)[0] ** 2)
+    la_l1 = jnp.full((v,), 0.03) if vprox.kind == "l1" else None
+    kw = dict(la_l1=la_l1, vprox=vprox, lipsch=lip)
+    base = pfdr_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y),
+        GraphD1.create(eu, ev, la, num_vertices=v, dtype=jnp.float64),
+        opt=PFDROptions(rho=1.4, dif_tol=1e-8, it_max=400, fused="off"),
+        **kw)
+    band = BandedGraphD1.create(eu, ev, la, num_vertices=v,
+                                dtype=jnp.float64, tile=1024,
+                                mode="interpret")
+    assert band.supports_fused
+    fused = pfdr_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), band,
+        opt=PFDROptions(rho=1.4, dif_tol=1e-8, it_max=400, fused="on"),
+        **kw)
+    assert int(fused.it) == int(base.it)
+    np.testing.assert_allclose(np.asarray(fused.x), np.asarray(base.x),
+                               atol=1e-10)
