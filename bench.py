@@ -1,22 +1,25 @@
-"""Benchmark: PFDR TV edge-updates/s on an EEG-scale fused LASSO problem.
+"""Benchmarks: PFDR/CP throughput vs the compiled reference C++ library.
 
-Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+Prints one JSON line per metric ``{"metric", "value", "unit",
+"vs_baseline"}``; the HEADLINE metric (stencil-path PFDR TV edge-updates/s
+on the EEG-scale fused LASSO) is printed LAST so a tail-parse lands on it.
+Secondary metrics: unstructured-mesh PFDR through the circulant container,
+multi-label (K=4) PFDR, and end-to-end cut-pursuit wall time.
 
-The problem mirrors the reference's EEG example
+The problems mirror the reference's EEG example
 (``/root/reference/octave/example_EEG_CP.m``: dense A with N=91
-observations, V ~ 19.6k cortical-mesh vertices, ~2V edges; the bundled
-EEG.mat is absent from the mount so the problem is regenerated
-synthetically with the same structure).  ``value`` is sustained TV edge
-updates per second of our TPU solver; ``vs_baseline`` is the speedup
-against the reference C++/OpenMP PFDR (compiled from the read-only mount,
-run on this host's CPUs) on identical inputs.
+observations, V ~ 19.6k cortical-mesh vertices, ~2-3V edges; the bundled
+EEG.mat is absent from the mount so the problems are regenerated
+synthetically with the same structure).  ``vs_baseline`` is the speedup
+against the reference C++/OpenMP solvers (compiled from the read-only
+mount, run on this host's CPUs) on identical inputs.
 
 Timing honesty: the TPU chip is reached through a tunnel with a ~30 ms
 RPC round trip per dispatch, and ``block_until_ready`` does not reliably
-cover remote completion — so the timed run (a) materializes the result to
-host numpy and (b) runs ITERS_TIME iterations in ONE jitted while_loop so
+cover remote completion — so every timed run (a) materializes the result
+to host numpy and (b) runs enough iterations in ONE jitted while_loop that
 the fixed RPC cost is <10% of the measurement.  Correctness is checked
-separately at ITERS iterations against the reference solver.
+separately against the reference solver.
 """
 import json
 import os
@@ -25,20 +28,41 @@ import time
 
 import numpy as np
 
-# persistent compile cache: the 40k-iteration timing variant takes ~30 s to
-# compile; cache it across driver runs
+# persistent compile cache: the long timing variants take ~30 s to compile;
+# cache them across driver runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 V_SIDE = 140                 # V = 19600 ~ EEG cortical mesh size
 N_OBS = 91                   # EEG electrode count
 ITERS = 400                  # solution-check run (matches reference run)
-ITERS_TIME = 40000           # timing run: device time >> tunnel RPC cost
 LA_D1 = 2e-3
 LA_L1 = 2e-3
 
 
-def build_problem(dtype=np.float32):
+def _emit(metric, value, unit, vs):
+    print(json.dumps({"metric": metric, "value": round(value, 1),
+                      "unit": unit, "vs_baseline": round(vs, 3)}),
+          flush=True)
+
+
+def _oracle():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests import _oracle as oracle
+    return oracle
+
+
+def _time_solve(solve, iters, repeats=3):
+    solve(iters)  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        solve(iters)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def build_grid_problem(dtype=np.float32, seed=7):
     h = w = V_SIDE
     v = h * w
     idx = np.arange(v).reshape(h, w)
@@ -46,7 +70,7 @@ def build_problem(dtype=np.float32):
                          idx[:-1, :].ravel()]).astype(np.int32)
     ev = np.concatenate([idx[:, 1:].ravel(),
                          idx[1:, :].ravel()]).astype(np.int32)
-    r = np.random.default_rng(7)
+    r = np.random.default_rng(seed)
     a = (r.standard_normal((N_OBS, v)) / np.sqrt(N_OBS)).astype(dtype)
     x_true = np.zeros(v, dtype)
     for _ in range(3):  # a few active sources, constant patches
@@ -58,19 +82,40 @@ def build_problem(dtype=np.float32):
     return eu, ev, la_d1, a, y, la_l1
 
 
-def run_ours(eu, ev, la_d1, a, y, la_l1, lip):
-    import jax
+def build_mesh_problem(dtype=np.float32, seed=3):
+    """Unstructured Delaunay mesh, strip-ordered (the general-case graph)."""
+    from scipy.spatial import Delaunay
+
+    from cp_pfdr_graph_d1_tpu.circulant import strip_order
+    v = V_SIDE * V_SIDE
+    r = np.random.default_rng(seed)
+    pts = r.random((v, 2))
+    tri = Delaunay(pts)
+    edges = set()
+    for s in tri.simplices:
+        for i in range(3):
+            a_, b_ = int(s[i]), int(s[(i + 1) % 3])
+            edges.add((min(a_, b_), max(a_, b_)))
+    eu = np.fromiter((e[0] for e in edges), np.int32, len(edges))
+    ev = np.fromiter((e[1] for e in edges), np.int32, len(edges))
+    order = strip_order(pts)
+    inv = np.empty(v, np.int64)
+    inv[order] = np.arange(v)
+    eu, ev = inv[eu].astype(np.int32), inv[ev].astype(np.int32)
+    a = (r.standard_normal((N_OBS, v)) / np.sqrt(N_OBS)).astype(dtype)
+    x_true = np.zeros(v, dtype)
+    x_true[r.integers(0, v, 400)] = 1.0
+    y = (a @ x_true + 0.01 * r.standard_normal(N_OBS)).astype(dtype)
+    la_d1 = np.full(eu.shape, LA_D1, dtype)
+    la_l1 = np.full(v, LA_L1, dtype)
+    return eu, ev, la_d1, a, y, la_l1
+
+
+def _pfdr_solver(graph, a, y, la_l1, lip):
     import jax.numpy as jnp
 
-    from cp_pfdr_graph_d1_tpu import (DenseOp, GraphD1, PFDROptions,
-                                      VertexProx, pfdr_quadratic_d1)
-    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
-
-    # the benchmark mesh is a grid: use the gather-free stencil container
-    # (identical math; the reference solves the same COO edge set)
-    graph = StencilGraphD1.create(
-        (V_SIDE, V_SIDE), {(0, 1): LA_D1, (1, 0): LA_D1},
-        dtype=jnp.float32)
+    from cp_pfdr_graph_d1_tpu import (DenseOp, PFDROptions, VertexProx,
+                                      pfdr_quadratic_d1)
     op = DenseOp(jnp.asarray(a))
     obs = jnp.asarray(y)
     l1 = jnp.asarray(la_l1)
@@ -82,56 +127,174 @@ def run_ours(eu, ev, la_d1, a, y, la_l1, lip):
                                 lipsch=lip, opt=opt)
         return np.asarray(res.x)  # host materialization barrier
 
-    x_check = solve(ITERS)  # also compiles the timing variant's sibling
-    solve(ITERS_TIME)       # compile + warm the timing variant
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        solve(ITERS_TIME)
-        best = min(best, time.perf_counter() - t0)
-    return best / ITERS_TIME, x_check
+    return solve
 
 
-def run_reference(eu, ev, la_d1, a, y, la_l1, lip):
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tests import _oracle
+def _ref_updates_per_s(oracle, eu, ev, la_d1, a, y, la_l1, lip):
     t0 = time.perf_counter()
-    x, it, _, _ = _oracle.pfdr_ql1(
-        y, a, eu, ev, la_d1, la_l1, 1, L=lip, rho=1.5, difTol=0.0,
-        itMax=ITERS)
-    return time.perf_counter() - t0, x, it
+    x, it, _, _ = oracle.pfdr_ql1(y, a, eu, ev, la_d1, la_l1, 1, L=lip,
+                                  rho=1.5, difTol=0.0, itMax=ITERS)
+    dt = time.perf_counter() - t0
+    return len(eu) * it / dt, x
 
 
-def main():
-    eu, ev, la_d1, a, y, la_l1 = build_problem()
+def bench_stencil(oracle):
+    """Headline: gather-free stencil container on the grid problem."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+    eu, ev, la_d1, a, y, la_l1 = build_grid_problem()
     lip = float(np.linalg.eigvalsh((a @ a.T).astype(np.float64))[-1])
-    e = len(eu)
-
-    t_iter, x_ours = run_ours(eu, ev, la_d1, a, y, la_l1, lip)
-    updates_per_s = e / t_iter
-
+    graph = StencilGraphD1.create((V_SIDE, V_SIDE),
+                                  {(0, 1): LA_D1, (1, 0): LA_D1},
+                                  dtype=jnp.float32)
+    solve = _pfdr_solver(graph, a, y, la_l1, lip)
+    x_ours = solve(ITERS)
+    t_iter = _time_solve(solve, 40000)
+    ups = len(eu) / t_iter
     vs = 0.0
-    try:
-        t_ref, x_ref, it_ref = run_reference(eu, ev, la_d1, a, y, la_l1,
-                                             lip)
-        ref_updates = e * it_ref / t_ref
-        vs = updates_per_s / ref_updates
-        # sanity: same minimizer (float32 vs double solver, loose tol)
+    if oracle is not None:
+        ref_ups, x_ref = _ref_updates_per_s(oracle, eu, ev, la_d1, a, y,
+                                            la_l1, lip)
+        vs = ups / ref_ups
         err = np.max(np.abs(x_ours - x_ref)) / max(1e-12,
                                                    np.max(np.abs(x_ref)))
         if err > 0.05:
-            print(f"WARNING: solver mismatch rel={err:.3g}",
+            print(f"WARNING: stencil solver mismatch rel={err:.3g}",
                   file=sys.stderr)
+    return ("PFDR TV edge-updates/s (EEG-scale fused LASSO)", ups,
+            "edge-updates/s", vs)
+
+
+def bench_unstructured(oracle):
+    """Unstructured COO mesh through the circulant shift-family container."""
+    from cp_pfdr_graph_d1_tpu.circulant import CirculantGraphD1
+    eu, ev, la_d1, a, y, la_l1 = build_mesh_problem()
+    v = a.shape[1]
+    lip = float(np.linalg.eigvalsh((a @ a.T).astype(np.float64))[-1])
+    graph = CirculantGraphD1.create(eu, ev, la_d1, num_vertices=v)
+    solve = _pfdr_solver(graph, a, y, la_l1, lip)
+    x_ours = solve(ITERS)
+    t_iter = _time_solve(solve, 20000)
+    ups = len(eu) / t_iter
+    vs = 0.0
+    if oracle is not None:
+        ref_ups, x_ref = _ref_updates_per_s(oracle, eu, ev, la_d1, a, y,
+                                            la_l1, lip)
+        vs = ups / ref_ups
+        err = np.max(np.abs(x_ours - x_ref)) / max(1e-12,
+                                                   np.max(np.abs(x_ref)))
+        if err > 0.05:
+            print(f"WARNING: circulant solver mismatch rel={err:.3g}",
+                  file=sys.stderr)
+    return ("PFDR TV edge-updates/s (unstructured Delaunay mesh, "
+            "circulant container)", ups, "edge-updates/s", vs)
+
+
+def bench_simplex(oracle):
+    """Multi-label (K=4) PFDR on the grid stencil."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import PFDROptions
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import pfdr_loss_d1_simplex
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+    k = 4
+    eu, ev, la_d1, _, _, _ = build_grid_problem()
+    v = V_SIDE * V_SIDE
+    r = np.random.default_rng(11)
+    q = r.dirichlet(np.full(k, 0.7), size=v).astype(np.float32)
+    graph = StencilGraphD1.create((V_SIDE, V_SIDE),
+                                  {(0, 1): 0.5, (1, 0): 0.5},
+                                  dtype=jnp.float32)
+    la_d1_ref = np.full(eu.shape, 0.5, np.float32)
+    q_dev = jnp.asarray(q)
+
+    def solve(iters):
+        res = pfdr_loss_d1_simplex(
+            graph, q_dev, al=1.0,
+            opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=iters))
+        return np.asarray(res.p)
+
+    p_ours = solve(ITERS)
+    t_iter = _time_solve(solve, 10000)
+    ups = len(eu) / t_iter
+    vs = 0.0
+    if oracle is not None:
+        t0 = time.perf_counter()
+        p_ref, it = oracle.pfdr_simplex(q, 1.0, eu, ev, la_d1_ref,
+                                        rho=1.5, difTol=0.0, itMax=ITERS)
+        dt = time.perf_counter() - t0
+        vs = ups / (len(eu) * it / dt)
+        err = np.max(np.abs(p_ours - p_ref))
+        if err > 0.05:
+            print(f"WARNING: simplex solver mismatch abs={err:.3g}",
+                  file=sys.stderr)
+    return ("multi-label PFDR edge-updates/s (K=4 stencil)", ups,
+            "edge-updates/s", vs)
+
+
+def bench_cut_pursuit(oracle):
+    """End-to-end cut-pursuit fused-LASSO solve, reference parameters."""
+    from cp_pfdr_graph_d1_tpu import api
+    eu, ev, la_d1, a, y, la_l1 = build_grid_problem()
+
+    def run():
+        t0 = time.perf_counter()
+        out = api.cp_quadratic_d1_l1(
+            y, a, eu, ev, la_d1, la_l1, positivity=True, CP_difTol=1e-4,
+            CP_itMax=15, PFDR_rho=1.5, PFDR_condMin=1e-3, PFDR_difRcd=0.0,
+            PFDR_difTol=1e-7, PFDR_itMax=10_000)
+        return time.perf_counter() - t0, out
+
+    run()  # warm (compile + native build)
+    t_ours, out = run()
+    t2, _ = run()
+    t_ours = min(t_ours, t2)
+    vs = 0.0
+    if oracle is not None:
+        t0 = time.perf_counter()
+        cv, rx, it, _ = oracle.cp_ql1(
+            y, a, eu, ev, la_d1, la_l1, 1, CP_difTol=1e-4, CP_itMax=15,
+            rho=1.5, condMin=1e-3, difRcd=0.0, difTol=1e-7, itMax=10_000)
+        t_ref = time.perf_counter() - t0
+        vs = t_ref / t_ours
+        x_ref = rx[cv]
+        x_ours = out.rX[out.Cv]
+        err = (np.max(np.abs(x_ours - x_ref))
+               / max(1e-12, np.max(np.abs(x_ref))))
+        if err > 0.05:
+            print(f"WARNING: cut-pursuit mismatch rel={err:.3g}",
+                  file=sys.stderr)
+    return ("cut-pursuit EEG-scale fused LASSO end-to-end", t_ours * 1000,
+            "ms", vs)
+
+
+def main():
+    try:
+        oracle = _oracle()
+        if not oracle.available():
+            oracle = None
     except Exception as ex:  # noqa: BLE001
         print(f"WARNING: reference baseline unavailable: {ex}",
               file=sys.stderr)
+        oracle = None
 
-    print(json.dumps({
-        "metric": "PFDR TV edge-updates/s (EEG-scale fused LASSO)",
-        "value": round(updates_per_s, 1),
-        "unit": "edge-updates/s",
-        "vs_baseline": round(vs, 3),
-    }))
+    headline = None
+    for fn, is_headline in ((bench_stencil, True),
+                            (bench_unstructured, False),
+                            (bench_simplex, False),
+                            (bench_cut_pursuit, False)):
+        try:
+            row = fn(oracle)
+        except Exception as ex:  # noqa: BLE001
+            print(f"WARNING: {fn.__name__} failed: {ex}", file=sys.stderr)
+            continue
+        if is_headline:
+            headline = row
+        else:
+            _emit(*row)
+    if headline is not None:
+        _emit(*headline)  # printed last: tail-parse lands on the headline
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@ separable-loss simplex labeling).
 """
 
 from .banded_graph import BandedGraphD1
+from .circulant import CirculantGraphD1, strip_order
 from .config import CPOptions, Lipsch, PFDROptions
 from .graph import GraphD1
 from .stencil import StencilGraphD1
@@ -17,7 +18,7 @@ from .solvers import (PFDRResult, SimplexResult, VertexProx,
                       pfdr_loss_d1_simplex, pfdr_quadratic_d1)
 
 __all__ = [
-    "BandedGraphD1", "StencilGraphD1",
+    "BandedGraphD1", "CirculantGraphD1", "StencilGraphD1", "strip_order",
     "CPOptions", "Lipsch", "PFDROptions", "GraphD1",
     "DenseOp", "DiagOp", "GramOp", "IdentityOp", "QuadOp", "make_operator",
     "PFDRResult", "SimplexResult", "VertexProx", "pfdr_loss_d1_simplex",

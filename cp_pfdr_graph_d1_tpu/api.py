@@ -70,7 +70,37 @@ def _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin, PFDR_difRcd,
         verbose=int(verbose))
 
 
-def _graph(Eu, Ev, La_d1, num_vertices, dtype):
+def _graph(Eu, Ev, La_d1, num_vertices, dtype, container: str = "coo"):
+    """Builds the graph container.
+
+    ``container``: "coo" — plain :class:`GraphD1`; "circulant" — force the
+    shift-family decomposition (:class:`~..circulant.CirculantGraphD1`);
+    "auto" — pick the circulant container on TPU when the vertex numbering
+    concentrates the edge offsets enough for the gather-free fused kernel
+    to apply (>= 70% of edges on the top-64 offsets; relabel with
+    :func:`~..circulant.strip_order` first for mesh problems).
+    """
+    if container == "circulant":
+        from .circulant import CirculantGraphD1
+        return CirculantGraphD1.create(Eu, Ev, La_d1,
+                                       num_vertices=num_vertices,
+                                       dtype=dtype)
+    if container == "auto":
+        import jax
+
+        from .circulant import (CirculantGraphD1, max_fused_vertices,
+                                offset_coverage)
+        v = num_vertices if num_vertices is not None else int(
+            max(np.max(Eu, initial=-1), np.max(Ev, initial=-1)) + 1)
+        vv = -(-v // 1024) * 1024
+        if (jax.default_backend() == "tpu" and len(np.asarray(Eu)) >= 4096
+                and vv <= max_fused_vertices()
+                and offset_coverage(Eu, Ev) >= 0.7):
+            return CirculantGraphD1.create(Eu, Ev, La_d1,
+                                           num_vertices=num_vertices,
+                                           dtype=dtype)
+    elif container != "coo":
+        raise ValueError(f"unknown container {container!r}")
     return GraphD1.create(Eu, Ev, La_d1, num_vertices=num_vertices,
                           dtype=dtype)
 
@@ -309,13 +339,14 @@ def pfdr_quadratic_d1_l1(Y, A, Eu, Ev, La_d1, La_l1=None, positivity=False,
                          L=None, PFDR_rho=1.0, PFDR_condMin=1e-3,
                          PFDR_difRcd=0.0, PFDR_difTol=1e-4,
                          PFDR_itMax=10_000, verbose=0, monitor=False,
-                         x0=None) -> PFDROutput:
+                         x0=None, container="auto") -> PFDROutput:
     """Inner solver alone on the full graph
     (``octave/mex/PFDR_graph_quadratic_d1_l1_mex.cpp``).  ``L`` is the
-    Lipschitz information: scalar = SCAL, [V] array = DIAG."""
+    Lipschitz information: scalar = SCAL, [V] array = DIAG; ``container``
+    selects the graph layout (see :func:`_graph`)."""
     dtype = _dtype_of(Y, A)
     a = jnp.asarray(np.asarray(A), dtype)
-    g = _graph(Eu, Ev, La_d1, a.shape[1], dtype)
+    g = _graph(Eu, Ev, La_d1, a.shape[1], dtype, container)
     vprox = VertexProx(kind="l1", positivity=bool(positivity)) \
         if La_l1 is not None else (
             VertexProx(kind="l1", positivity=True) if positivity
@@ -331,11 +362,11 @@ def pfdr_quadratic_d1_l1_AtA(AtY, AtA, Eu, Ev, La_d1, La_l1=None,
                              positivity=False, L=None, PFDR_rho=1.0,
                              PFDR_condMin=1e-3, PFDR_difRcd=0.0,
                              PFDR_difTol=1e-4, PFDR_itMax=10_000,
-                             verbose=0, monitor=False, x0=None
-                             ) -> PFDROutput:
+                             verbose=0, monitor=False, x0=None,
+                             container="auto") -> PFDROutput:
     dtype = _dtype_of(AtY, AtA)
     gram = jnp.asarray(np.asarray(AtA), dtype)
-    g = _graph(Eu, Ev, La_d1, gram.shape[1], dtype)
+    g = _graph(Eu, Ev, La_d1, gram.shape[1], dtype, container)
     vprox = VertexProx(kind="l1", positivity=bool(positivity)) \
         if La_l1 is not None else (
             VertexProx(kind="l1", positivity=True) if positivity
@@ -350,11 +381,11 @@ def pfdr_quadratic_d1_l1_AtA(AtY, AtA, Eu, Ev, La_d1, La_l1=None,
 def pfdr_l22_d1_l1(Y, La_l2, Eu, Ev, La_d1, La_l1=None, positivity=False,
                    L=None, PFDR_rho=1.0, PFDR_condMin=1e-3, PFDR_difRcd=0.0,
                    PFDR_difTol=1e-4, PFDR_itMax=10_000, verbose=0,
-                   monitor=False, x0=None) -> PFDROutput:
+                   monitor=False, x0=None, container="auto") -> PFDROutput:
     Y = np.asarray(Y)
     dtype = _dtype_of(Y, La_l2 if La_l2 is not None else Y)
     num_v = Y.shape[0]
-    g = _graph(Eu, Ev, La_d1, num_v, dtype)
+    g = _graph(Eu, Ev, La_d1, num_v, dtype, container)
     vprox = VertexProx(kind="l1", positivity=bool(positivity)) \
         if La_l1 is not None else (
             VertexProx(kind="l1", positivity=True) if positivity
@@ -374,10 +405,10 @@ def pfdr_quadratic_d1_bounds(Y, A, Eu, Ev, La_d1, m=-np.inf, M=np.inf,
                              L=None, PFDR_rho=1.0, PFDR_condMin=1e-3,
                              PFDR_difRcd=0.0, PFDR_difTol=1e-4,
                              PFDR_itMax=10_000, verbose=0, monitor=False,
-                             x0=None) -> PFDROutput:
+                             x0=None, container="auto") -> PFDROutput:
     dtype = _dtype_of(Y, A)
     a = jnp.asarray(np.asarray(A), dtype)
-    g = _graph(Eu, Ev, La_d1, a.shape[1], dtype)
+    g = _graph(Eu, Ev, La_d1, a.shape[1], dtype, container)
     return _pfdr_run(DenseOp(a), jnp.asarray(np.asarray(Y), dtype), g, None,
                      VertexProx(kind="bounds", lo=float(m), hi=float(M)),
                      L, PFDR_rho, PFDR_condMin, PFDR_difRcd, PFDR_difTol,
@@ -388,11 +419,11 @@ def pfdr_quadratic_d1_bounds_AtA(AtY, AtA, Eu, Ev, La_d1, m=-np.inf,
                                  M=np.inf, L=None, PFDR_rho=1.0,
                                  PFDR_condMin=1e-3, PFDR_difRcd=0.0,
                                  PFDR_difTol=1e-4, PFDR_itMax=10_000,
-                                 verbose=0, monitor=False, x0=None
-                                 ) -> PFDROutput:
+                                 verbose=0, monitor=False, x0=None,
+                                 container="auto") -> PFDROutput:
     dtype = _dtype_of(AtY, AtA)
     gram = jnp.asarray(np.asarray(AtA), dtype)
-    g = _graph(Eu, Ev, La_d1, gram.shape[1], dtype)
+    g = _graph(Eu, Ev, La_d1, gram.shape[1], dtype, container)
     return _pfdr_run(GramOp(gram), jnp.asarray(np.asarray(AtY), dtype), g,
                      None,
                      VertexProx(kind="bounds", lo=float(m), hi=float(M)),
@@ -403,11 +434,12 @@ def pfdr_quadratic_d1_bounds_AtA(AtY, AtA, Eu, Ev, La_d1, m=-np.inf,
 def pfdr_l22_d1_bounds(Y, La_l2, Eu, Ev, La_d1, m=-np.inf, M=np.inf,
                        L=None, PFDR_rho=1.0, PFDR_condMin=1e-3,
                        PFDR_difRcd=0.0, PFDR_difTol=1e-4, PFDR_itMax=10_000,
-                       verbose=0, monitor=False, x0=None) -> PFDROutput:
+                       verbose=0, monitor=False, x0=None,
+                       container="auto") -> PFDROutput:
     Y = np.asarray(Y)
     dtype = _dtype_of(Y, La_l2 if La_l2 is not None else Y)
     num_v = Y.shape[0]
-    g = _graph(Eu, Ev, La_d1, num_v, dtype)
+    g = _graph(Eu, Ev, La_d1, num_v, dtype, container)
     if La_l2 is None:
         op, obs = IdentityOp(), jnp.asarray(Y, dtype)
     else:

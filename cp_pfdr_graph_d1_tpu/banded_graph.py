@@ -88,9 +88,9 @@ class BandedGraphD1(GraphD1):
         """True when the fused whole-iteration kernel applies (see
         :mod:`.ops.banded_fused`); distributed (axis_name) graphs and the
         pure-jnp mode fall back to the staged path."""
-        from .ops.banded_fused import MAX_FUSED_VERTICES
+        from .ops.banded_fused import max_fused_vertices
         return (self.mode != "jnp" and self.axis_name is None
-                and self.num_vertices <= MAX_FUSED_VERTICES)
+                and self.plan.v8 * 128 <= max_fused_vertices(self.plan.tile))
 
     def fused_iteration(self, x, grad, pre, zu, zv, rho: float, vprox,
                         interpret: bool):

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .graph import GraphD1
+from .ops.circulant_fused import max_fused_vertices  # noqa: F401  (re-export)
 
 
 def strip_order(coords, nstrips: Optional[int] = None):
@@ -70,6 +71,19 @@ def strip_order(coords, nstrips: Optional[int] = None):
     strip = np.minimum(rank // max(v // nstrips, 1), nstrips - 1)
     b = proj[:, 1] if proj.shape[1] > 1 else np.zeros(v)
     return np.lexsort((b, strip))
+
+
+def offset_coverage(eu, ev, max_families: int = 64) -> float:
+    """Fraction of edges whose index offset ``|ev - eu|`` falls on the
+    ``max_families`` most frequent offsets — the fraction the circulant
+    decomposition would serve gather-free.  Cheap O(E log E) probe used by
+    the ``container="auto"`` selection."""
+    d = np.abs(np.asarray(ev, np.int64) - np.asarray(eu, np.int64))
+    if d.size == 0:
+        return 0.0
+    _, counts = np.unique(d, return_counts=True)
+    counts = np.sort(counts)[::-1]
+    return float(counts[:max_families].sum()) / float(counts.sum())
 
 
 def _masked_incidence(eu, ev, real, num_vertices: int):
@@ -142,6 +156,10 @@ class CirculantGraphD1(GraphD1):
         ev2 = np.where(flip, eu, ev)
         d = ev2 - eu2
         offs, counts = np.unique(d, return_counts=True)
+        # at-least-one-family fallback: when even the most frequent offset
+        # is rarer than min_count (unordered/shuffled labelings), the floor
+        # is relaxed to keep the densest offset rather than erroring —
+        # the coverage warning below is the user's signal to reorder
         keep = counts >= min(min_count, int(counts.max(initial=1)))
         offs, counts = offs[keep], counts[keep]
         top = np.argsort(counts, kind="stable")[::-1][:max_families]
@@ -164,6 +182,31 @@ class CirculantGraphD1(GraphD1):
         eu_r = eu2[rem_mask].astype(np.int32)
         ev_r = ev2[rem_mask].astype(np.int32)
         la_r = la[rem_mask]
+        num_real_rem = len(eu_r)
+        coverage = 1.0 - len(eu_r) / max(len(eu2), 1)
+        if coverage < 0.5:
+            import warnings
+            warnings.warn(
+                f"circulant decomposition covers only {coverage:.0%} of "
+                f"edges with dense families ({len(eu_r)} of {len(eu2)} "
+                "edges fall to the COO remainder); relabel vertices with "
+                "a locality-preserving order (strip_order on coordinates, "
+                "or ops.banded.rcm_order) before building the graph",
+                stacklevel=2)
+
+        # route the remainder through the banded container: its MXU-matmul
+        # scatter produces the dense [V] accumulation in tens of us where
+        # the [V, max_deg] incidence gather costs O(V * D) serial gather
+        # elements (~0.8 ms measured at EEG scale for a 2.6% remainder)
+        if num_real_rem:
+            from .banded_graph import BandedGraphD1
+            rem_graph = BandedGraphD1.create(eu_r, ev_r, la_r,
+                                             num_vertices=v, dtype=dtype)
+            eu_r = np.asarray(rem_graph.eu)
+            ev_r = np.asarray(rem_graph.ev)
+            la_r = np.asarray(rem_graph.la_d1)
+        else:
+            rem_graph = None
 
         u_grid = np.broadcast_to(np.arange(vv, dtype=np.int64), (nf, vv))
         eu_fam = np.where(assigned, u_grid, 0)
@@ -171,11 +214,8 @@ class CirculantGraphD1(GraphD1):
         eu_full = np.concatenate([eu_fam.ravel(), eu_r]).astype(np.int32)
         ev_full = np.concatenate([ev_fam.ravel(), ev_r]).astype(np.int32)
         la_full = np.concatenate([la_f.ravel(), la_r])
-        real = np.concatenate([assigned.ravel(),
-                               np.ones(len(eu_r), bool)])
+        real = np.concatenate([assigned.ravel(), la_r != 0])
         incidence = _masked_incidence(eu_full, ev_full, real, v)
-        rem_graph = (GraphD1.create(eu_r, ev_r, la_r, num_vertices=v,
-                                    dtype=dtype) if len(eu_r) else None)
         dinv = (vv - fam_offsets) % vv
         offs_dev = jnp.asarray(np.stack(
             [fam_offsets // 128, fam_offsets % 128, dinv // 128, dinv % 128],
@@ -188,9 +228,9 @@ class CirculantGraphD1(GraphD1):
 
     @property
     def supports_fused(self):
-        from .ops.circulant_fused import MAX_FUSED_VERTICES
+        from .ops.circulant_fused import max_fused_vertices
         return (self.axis_name is None
-                and self.num_vertices <= MAX_FUSED_VERTICES)
+                and self.vv8 * 128 <= max_fused_vertices())
 
     def _dense_v(self, arr, dtype):
         v, vv = self.num_vertices, self.vv8 * 128
@@ -201,11 +241,10 @@ class CirculantGraphD1(GraphD1):
 
     def fused_iteration(self, x, grad, pre, zu, zv, rho: float, vprox,
                         interpret: bool):
-        """One fused edge+vertex PFDR step: shift families in one Pallas
-        kernel (:func:`.ops.circulant_fused.fused_circulant_iteration`),
-        remainder edges inline in XLA."""
+        """One fused edge+vertex PFDR step: shift families plus remainder
+        tiles in a single Pallas kernel
+        (:func:`.ops.circulant_fused.fused_circulant_iteration`)."""
         from .ops.circulant_fused import fused_circulant_iteration
-        from .ops.prox import d1_pair_prox
         nf, vv8 = len(self.offsets), self.vv8
         vv = vv8 * 128
         split = nf * vv
@@ -216,36 +255,38 @@ class CirculantGraphD1(GraphD1):
             return arr[:split].reshape(nf, vv8, 128)
 
         if self.num_rem:
-            p = 2.0 * x - pre.ga * grad
-            eu_r = self.eu[split:]
-            ev_r = self.ev[split:]
-            zu_r = zu[split:]
-            zv_r = zv[split:]
-            au = p[eu_r] - zu_r
-            av = p[ev_r] - zv_r
-            pu, pv = d1_pair_prox(au, av, pre.w_d1u[split:],
-                                  pre.w_d1v[split:], pre.th_d1[split:])
-            zu_r = zu_r + rho * (pu - x[eu_r])
-            zv_r = zv_r + rho * (pv - x[ev_r])
-            racc = self.rem_graph.edge_to_vertex_sum(
-                pre.wu[split:] * zu_r, pre.wv[split:] * zv_r)
-            racc_d = self._dense_v(racc, dt)
-        else:
-            racc_d = jnp.zeros((vv8, 128), dt)
-            zu_r = zu[split:]
-            zv_r = zv[split:]
+            plan = self.rem_graph.plan
+            t8 = plan.tile // 128
+            eshape = (plan.num_tiles * t8, 128)
 
-        xn, zuf, zvf, num, den = fused_circulant_iteration(
-            self.offs_dev, fam(zu), fam(zv), fam(pre.wu), fam(pre.wv),
-            fam(pre.w_d1u), fam(pre.w_d1v), fam(pre.th_d1),
+            def rem(arr):
+                return arr[split:].reshape(eshape)
+
+            starts8 = plan.starts8
+            tile_args = (plan.lur, plan.lul, plan.lvr, plan.lvl,
+                         rem(zu), rem(zv), rem(pre.wu), rem(pre.wv),
+                         rem(pre.w_d1u), rem(pre.w_d1v), rem(pre.th_d1))
+            nt, tile, wd8 = plan.num_tiles, plan.tile, plan.wd8
+        else:
+            starts8 = None
+            tile_args = (None,) * 11
+            nt, tile, wd8 = 0, 0, 0
+
+        xn, zuf, zvf, zur, zvr, num, den = fused_circulant_iteration(
+            self.offs_dev, starts8, fam(zu), fam(zv), fam(pre.wu),
+            fam(pre.w_d1u), fam(pre.th_d1),
+            *tile_args,
             self._dense_v(x, dt), self._dense_v(grad, dt),
-            self._dense_v(pre.ga, dt), self._dense_v(pre.th_l1, dt), racc_d,
-            nf=nf, vv8=vv8, nv=v, rho=float(rho), vkind=vprox.kind,
-            positivity=vprox.positivity, lo=float(vprox.lo),
-            hi=float(vprox.hi), interpret=interpret)
-        return (xn.reshape(-1)[:v],
-                jnp.concatenate([zuf.reshape(-1), zu_r]),
-                jnp.concatenate([zvf.reshape(-1), zv_r]), num, den)
+            self._dense_v(pre.ga, dt), self._dense_v(pre.th_l1, dt),
+            nf=nf, vv8=vv8, nt=nt, tile=tile, wd8=wd8, nv=v,
+            rho=float(rho), vkind=vprox.kind, positivity=vprox.positivity,
+            lo=float(vprox.lo), hi=float(vprox.hi), interpret=interpret)
+        if self.num_rem:
+            return (xn.reshape(-1)[:v],
+                    jnp.concatenate([zuf.reshape(-1), zur.reshape(-1)]),
+                    jnp.concatenate([zvf.reshape(-1), zvr.reshape(-1)]),
+                    num, den)
+        return xn.reshape(-1)[:v], zuf.reshape(-1), zvf.reshape(-1), num, den
 
     # -- pytree protocol -----------------------------------------------------
 

@@ -38,6 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# one-hot selector dots run at HIGHEST: Pallas-mosaic supports only
+# DEFAULT (bf16, would truncate the gathered values) and HIGHEST
 HI = jax.lax.Precision.HIGHEST
 
 

@@ -36,9 +36,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .banded import HI, _endpoint_sel, _pack, _selectors, _unpack
 
-# vertex fields beyond this stay out of VMEM residency (same bound as the
-# stencil kernel)
-MAX_FUSED_VERTICES = 1 << 20
+# VMEM is ~16 MB/core; leave headroom for compiler temporaries.  Resident
+# buffers: 6 vertex-field VMEM arrays (x, grad, ga, th_l1, x out, acc
+# scratch) plus 26 edge-tile buffers (11 blocked inputs + 2 blocked
+# outputs, double-buffered) of ``tile`` elements each.
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+MAX_FUSED_VERTICES = 1 << 20  # absolute cap
+
+
+def max_fused_vertices(tile: int, itemsize: int = 4) -> int:
+    """Largest padded vertex count whose resident buffers fit VMEM."""
+    left = VMEM_BUDGET_BYTES - 26 * tile * itemsize
+    return min(MAX_FUSED_VERTICES, max(left, 0) // (6 * itemsize))
 
 
 def _kernel(s_ref, lur_ref, lul_ref, lvr_ref, lvl_ref,

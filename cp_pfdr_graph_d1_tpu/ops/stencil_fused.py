@@ -25,9 +25,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# fields larger than this fall back to the unfused path (the single-block
-# kernel holds ~7F+6 copies of the field in VMEM)
-MAX_FUSED_FIELD_ELEMS = 1 << 20
+# VMEM is ~16 MB/core; leave headroom for compiler temporaries.  The
+# single-block kernel holds 9F+5 field-size VMEM buffers (4 vertex inputs +
+# 1 vertex output + 7F family inputs + 2F family outputs), so the largest
+# compilable field is a function of the family count, not a flat constant.
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+MAX_FUSED_FIELD_ELEMS = 1 << 20  # absolute cap, any family count
+
+
+def max_fused_field_elems(num_families: int, itemsize: int = 4) -> int:
+    """Largest H*W whose 9F+5 resident buffers fit the VMEM budget."""
+    per_elem = (9 * num_families + 5) * itemsize
+    return min(MAX_FUSED_FIELD_ELEMS, VMEM_BUDGET_BYTES // per_elem)
 
 
 def _roll2(x, dy: int, dx: int, interpret: bool):

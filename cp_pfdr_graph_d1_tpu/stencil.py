@@ -123,8 +123,8 @@ class StencilGraphD1(GraphD1):
     def supports_fused(self):
         """True when the fused single-block Pallas iteration kernel applies
         (vertex-sharded halo subclasses override to False)."""
-        from .ops.stencil_fused import MAX_FUSED_FIELD_ELEMS
-        return self.num_vertices <= MAX_FUSED_FIELD_ELEMS
+        from .ops.stencil_fused import max_fused_field_elems
+        return self.num_vertices <= max_fused_field_elems(len(self.shifts))
 
     def fused_iteration(self, x, grad, pre, zu, zv, rho: float, vprox,
                         interpret: bool):

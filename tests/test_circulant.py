@@ -65,19 +65,12 @@ def test_scatter_matches_plain():
     vu = jnp.asarray(r.normal(size=g.num_edges))
     vv = jnp.asarray(r.normal(size=g.num_edges))
     out = np.asarray(g.edge_to_vertex_sum(vu, vv))
-    ref = np.zeros(v)
-    ge, gv = np.asarray(g.eu), np.asarray(g.ev)
-    real = np.zeros(g.num_edges, bool)
-    # only real (incidence-listed) slots participate; identify them as the
-    # slots the scatter actually counted by checking against full-accum on
-    # weight-carrying and chord slots
-    # simpler: compare against plain GraphD1 on the same (padded) edge list
-    # restricted to slots with either endpoint info -> use incidence
+    # oracle: accumulate through the masked incidence table (only real,
+    # incidence-listed slots participate; sentinel 2E selects the zero pad)
     inc = np.asarray(g.incidence)
     e = g.num_edges
     vals = np.concatenate([np.asarray(vu), np.asarray(vv), [0.0]])
-    idx = np.where(inc == 2 * e, 2 * e, inc)
-    ref = vals[np.minimum(idx, 2 * e)].reshape(v, -1).sum(axis=1)
+    ref = vals[inc].reshape(v, -1).sum(axis=1)
     np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
 
 
@@ -140,6 +133,26 @@ def test_circulant_no_remainder():
     assert int(fused.it) == int(base.it)
     np.testing.assert_allclose(np.asarray(fused.x), np.asarray(base.x),
                                atol=1e-10)
+
+
+def test_flat_shift_semantics():
+    """The roll-and-select _flat_shift (the SAME code the TPU executes, with
+    jnp.roll substituted for pltpu.roll only) equals a flat circular shift
+    for every wrap regime, including b=0, a=0, and full-wrap shifts."""
+    import jax
+
+    from cp_pfdr_graph_d1_tpu.ops.circulant_fused import _flat_shift
+
+    r, n = 8, 8 * 128
+    rng = np.random.default_rng(9)
+    m = jnp.asarray(rng.normal(size=(r, 128)))
+    for d in [0, 1, 127, 128, 129, 640, n - 1, n - 128, n - 129]:
+        a, b = d // 128, d % 128
+        got = jax.jit(_flat_shift, static_argnums=3)(
+            m, jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32), True)
+        want = jnp.roll(m.reshape(-1), -d).reshape(r, 128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=0, err_msg=f"shift {d}")
 
 
 def test_strip_order_concentrates_offsets():
