@@ -170,10 +170,16 @@ def pfdr_quadratic_d1_sharded(problem: ShardedQuadraticProblem, mesh: Mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(),
         check_vma=False)
-    return sharded(jnp.asarray(problem.a), jnp.asarray(problem.obs),
-                   jnp.asarray(problem.eu), jnp.asarray(problem.ev),
-                   jnp.asarray(problem.la_d1),
-                   jnp.asarray(problem.incidence))
+    # device_put with a NamedSharding (not jnp.asarray): each process
+    # uploads only its addressable shards, so the same call spans hosts
+    from .mesh import put_sharded
+    sh = P(axis)
+    return sharded(put_sharded(problem.a, mesh, sh),
+                   put_sharded(problem.obs, mesh, sh),
+                   put_sharded(problem.eu, mesh, sh),
+                   put_sharded(problem.ev, mesh, sh),
+                   put_sharded(problem.la_d1, mesh, sh),
+                   put_sharded(problem.incidence, mesh, sh))
 
 
 class ShardedSimplexProblem(NamedTuple):
@@ -226,6 +232,10 @@ def pfdr_loss_d1_simplex_sharded(problem: ShardedSimplexProblem, mesh: Mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(),
         check_vma=False)
-    return sharded(jnp.asarray(problem.q), jnp.asarray(problem.eu),
-                   jnp.asarray(problem.ev), jnp.asarray(problem.la_d1),
-                   jnp.asarray(problem.incidence))
+    from .mesh import put_sharded
+    sh = P(axis)
+    return sharded(put_sharded(problem.q, mesh, P()),
+                   put_sharded(problem.eu, mesh, sh),
+                   put_sharded(problem.ev, mesh, sh),
+                   put_sharded(problem.la_d1, mesh, sh),
+                   put_sharded(problem.incidence, mesh, sh))

@@ -214,8 +214,11 @@ def pfdr_quadratic_d1_halo(problem: HaloShardedProblem, mesh: Mesh, *,
     sharded = jax.shard_map(solve, mesh=mesh,
                             in_specs=in_specs, out_specs=out_specs,
                             check_vma=False)
-    res = sharded(jnp.asarray(problem.a), jnp.asarray(problem.la_d1),
-                  la_l1_s, jnp.asarray(problem.obs))
+    from .mesh import put_sharded
+    res = sharded(put_sharded(problem.a, mesh, P(axis)),
+                  put_sharded(problem.la_d1, mesh, P(axis)),
+                  put_sharded(np.asarray(la_l1_s), mesh, P(axis)),
+                  put_sharded(problem.obs, mesh, P()))
     return res._replace(x=res.x.reshape(-1))
 
 
@@ -282,6 +285,8 @@ def pfdr_loss_d1_simplex_halo(problem: HaloSimplexProblem, mesh: Mesh, *,
     sharded = jax.shard_map(solve, mesh=mesh,
                             in_specs=(P(axis), P(axis), P(axis)),
                             out_specs=out_specs, check_vma=False)
-    res = sharded(jnp.asarray(problem.q), jnp.asarray(problem.la_d1),
-                  la_f_s)
+    from .mesh import put_sharded
+    res = sharded(put_sharded(problem.q, mesh, P(axis)),
+                  put_sharded(problem.la_d1, mesh, P(axis)),
+                  put_sharded(np.asarray(la_f_s), mesh, P(axis)))
     return res._replace(p=res.p.reshape(h * w, -1))

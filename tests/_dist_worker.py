@@ -1,0 +1,99 @@
+"""Multi-process (DCN) worker: runs the dp and halo PFDR solvers across
+process boundaries and checks them against the single-process solutions.
+
+Spawned by ``tests/test_multihost.py`` as N processes with a local
+coordinator; exercises exactly the code path a multi-host TPU fleet uses
+(``jax.distributed.initialize`` -> global mesh -> shard_map + collectives),
+on the CPU backend with gloo collectives.
+
+Usage: python -m tests._dist_worker <process_id> <num_processes> <port>
+"""
+import os
+import sys
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""  # never touch the TPU claim
+
+    from cp_pfdr_graph_d1_tpu.parallel import (initialize_distributed,
+                                               make_hybrid_mesh, make_mesh)
+    initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid,
+                           local_device_count=4)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    import cp_pfdr_graph_d1_tpu as cp
+    from cp_pfdr_graph_d1_tpu.parallel import (
+        pfdr_quadratic_d1_halo, pfdr_quadratic_d1_sharded,
+        shard_quadratic_problem, shard_stencil_problem)
+
+    assert jax.process_count() == nproc, jax.process_count()
+    n_dev = jax.device_count()
+    assert n_dev == 4 * nproc, n_dev
+    mesh = make_mesh()
+    hybrid = make_hybrid_mesh()
+    if nproc > 1:
+        assert dict(hybrid.shape) == {"host": nproc, "dp": 4}, hybrid.shape
+
+    # -- identical problem on every process --------------------------------
+    r = np.random.default_rng(0)
+    h = w = 16
+    v, n = h * w, 24
+    idx = np.arange(v).reshape(h, w)
+    eu = np.concatenate([idx[:, :-1].ravel(),
+                         idx[:-1, :].ravel()]).astype(np.int32)
+    ev = np.concatenate([idx[:, 1:].ravel(),
+                         idx[1:, :].ravel()]).astype(np.int32)
+    a = (r.standard_normal((n, v)) / np.sqrt(n)).astype(np.float32)
+    y = (a @ r.standard_normal(v) * 0.3).astype(np.float32)
+    la_d1 = np.full(len(eu), 0.1, np.float32)
+    la_l1 = np.full(v, 0.05, np.float32)
+    lip = float(np.linalg.eigvalsh((a @ a.T).astype(np.float64))[-1])
+    vprox = cp.VertexProx(kind="l1", positivity=True)
+    opt = cp.PFDROptions(rho=1.4, dif_tol=0.0, it_max=60)
+
+    # single-device truth, computed locally on each process
+    graph = cp.GraphD1.create(eu, ev, la_d1, num_vertices=v)
+    ref = cp.pfdr_quadratic_d1(
+        cp.DenseOp(jnp.asarray(a)), jnp.asarray(y), graph,
+        la_l1=jnp.asarray(la_l1), vprox=vprox, lipsch=lip, opt=opt)
+    x_ref = np.asarray(ref.x)
+
+    # -- dp solver across processes ----------------------------------------
+    prob = shard_quadratic_problem(a, y, eu, ev, la_d1, n_dev)
+    res = pfdr_quadratic_d1_sharded(prob, mesh, la_l1=la_l1, vprox=vprox,
+                                    lipsch=lip, opt=opt)
+    x_dp = np.asarray(multihost_utils.process_allgather(
+        res.x, tiled=True)).reshape(-1)[:v]
+    err_dp = float(np.max(np.abs(x_dp - x_ref)))
+
+    # -- halo (vertex-sharded) solver across processes ---------------------
+    sgraph = cp.StencilGraphD1.create((h, w), {(0, 1): 0.1, (1, 0): 0.1},
+                                      dtype=jnp.float32)
+    sref = cp.pfdr_quadratic_d1(
+        cp.DenseOp(jnp.asarray(a)), jnp.asarray(y), sgraph,
+        la_l1=jnp.asarray(la_l1), vprox=vprox, lipsch=lip, opt=opt)
+    hprob = shard_stencil_problem(a, y, sgraph, n_dev)
+    hres = pfdr_quadratic_d1_halo(hprob, mesh, la_l1=la_l1, vprox=vprox,
+                                  lipsch=lip, opt=opt)
+    x_halo = np.asarray(multihost_utils.process_allgather(
+        hres.x, tiled=True)).reshape(-1)[:v]
+    err_halo = float(np.max(np.abs(x_halo - np.asarray(sref.x))))
+
+    tol = 1e-5  # f32; collective reduction order differs from local sums
+    print(f"[{pid}] dp_err={err_dp:.3g} halo_err={err_halo:.3g}",
+          flush=True)
+    assert err_dp <= tol, f"dp mismatch {err_dp}"
+    assert err_halo <= tol, f"halo mismatch {err_halo}"
+    print(f"[{pid}] MULTIHOST_OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
