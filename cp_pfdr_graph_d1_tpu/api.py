@@ -304,14 +304,14 @@ def cp_loss_d1_simplex(Q, al, Eu, Ev, La_d1, CP_difTol=1e-3, CP_itMax=10,
 # PFDR-only entries
 # ---------------------------------------------------------------------------
 
-def _pfdr_options(rho, condMin, difRcd, difTol, itMax):
+def _pfdr_options(rho, condMin, difRcd, difTol, itMax, verbose=0):
     return PFDROptions(rho=float(rho), cond_min=float(condMin),
                        dif_rcd=float(difRcd), dif_tol=float(difTol),
-                       it_max=int(itMax))
+                       it_max=int(itMax), verbose=int(verbose))
 
 
 def _pfdr_run(op, obs, g, la_l1, vprox, L, rho, condMin, difRcd, difTol,
-              itMax, monitor, x0=None):
+              itMax, monitor, x0=None, verbose=0):
     ltype = Lipsch.SCAL
     lipsch = None
     if L is not None:
@@ -326,7 +326,7 @@ def _pfdr_run(op, obs, g, la_l1, vprox, L, rho, condMin, difRcd, difTol,
             np.broadcast_to(np.asarray(la_l1), (g.num_vertices,)),
             obs.dtype),
         vprox=vprox, lipsch=lipsch, ltype=ltype, x0=x0,
-        opt=_pfdr_options(rho, condMin, difRcd, difTol, itMax),
+        opt=_pfdr_options(rho, condMin, difRcd, difTol, itMax, verbose),
         monitor=monitor)
     it = int(res.it)
     return PFDROutput(np.asarray(res.x), it,
@@ -355,7 +355,7 @@ def pfdr_quadratic_d1_l1(Y, A, Eu, Ev, La_d1, La_l1=None, positivity=False,
         np.zeros(a.shape[1]) if positivity else None)
     return _pfdr_run(DenseOp(a), jnp.asarray(np.asarray(Y), dtype), g,
                      la_l1, vprox, L, PFDR_rho, PFDR_condMin, PFDR_difRcd,
-                     PFDR_difTol, PFDR_itMax, monitor, x0)
+                     PFDR_difTol, PFDR_itMax, monitor, x0, verbose)
 
 
 def pfdr_quadratic_d1_l1_AtA(AtY, AtA, Eu, Ev, La_d1, La_l1=None,
@@ -375,7 +375,7 @@ def pfdr_quadratic_d1_l1_AtA(AtY, AtA, Eu, Ev, La_d1, La_l1=None,
         np.zeros(gram.shape[1]) if positivity else None)
     return _pfdr_run(GramOp(gram), jnp.asarray(np.asarray(AtY), dtype), g,
                      la_l1, vprox, L, PFDR_rho, PFDR_condMin, PFDR_difRcd,
-                     PFDR_difTol, PFDR_itMax, monitor, x0)
+                     PFDR_difTol, PFDR_itMax, monitor, x0, verbose)
 
 
 def pfdr_l22_d1_l1(Y, La_l2, Eu, Ev, La_d1, La_l1=None, positivity=False,
@@ -398,7 +398,8 @@ def pfdr_l22_d1_l1(Y, La_l2, Eu, Ev, La_d1, La_l1=None, positivity=False,
         w = np.broadcast_to(np.asarray(La_l2), (num_v,))
         op, obs = DiagOp(jnp.asarray(w, dtype)), jnp.asarray(w * Y, dtype)
     return _pfdr_run(op, obs, g, la_l1, vprox, L, PFDR_rho, PFDR_condMin,
-                     PFDR_difRcd, PFDR_difTol, PFDR_itMax, monitor, x0)
+                     PFDR_difRcd, PFDR_difTol, PFDR_itMax, monitor, x0,
+                     verbose)
 
 
 def pfdr_quadratic_d1_bounds(Y, A, Eu, Ev, La_d1, m=-np.inf, M=np.inf,
@@ -412,7 +413,7 @@ def pfdr_quadratic_d1_bounds(Y, A, Eu, Ev, La_d1, m=-np.inf, M=np.inf,
     return _pfdr_run(DenseOp(a), jnp.asarray(np.asarray(Y), dtype), g, None,
                      VertexProx(kind="bounds", lo=float(m), hi=float(M)),
                      L, PFDR_rho, PFDR_condMin, PFDR_difRcd, PFDR_difTol,
-                     PFDR_itMax, monitor, x0)
+                     PFDR_itMax, monitor, x0, verbose)
 
 
 def pfdr_quadratic_d1_bounds_AtA(AtY, AtA, Eu, Ev, La_d1, m=-np.inf,
@@ -428,7 +429,7 @@ def pfdr_quadratic_d1_bounds_AtA(AtY, AtA, Eu, Ev, La_d1, m=-np.inf,
                      None,
                      VertexProx(kind="bounds", lo=float(m), hi=float(M)),
                      L, PFDR_rho, PFDR_condMin, PFDR_difRcd, PFDR_difTol,
-                     PFDR_itMax, monitor, x0)
+                     PFDR_itMax, monitor, x0, verbose)
 
 
 def pfdr_l22_d1_bounds(Y, La_l2, Eu, Ev, La_d1, m=-np.inf, M=np.inf,
@@ -448,7 +449,7 @@ def pfdr_l22_d1_bounds(Y, La_l2, Eu, Ev, La_d1, m=-np.inf, M=np.inf,
     return _pfdr_run(op, obs, g, None,
                      VertexProx(kind="bounds", lo=float(m), hi=float(M)),
                      L, PFDR_rho, PFDR_condMin, PFDR_difRcd, PFDR_difTol,
-                     PFDR_itMax, monitor, x0)
+                     PFDR_itMax, monitor, x0, verbose)
 
 
 def pfdr_loss_d1_simplex_api(Q, al, Eu, Ev, La_d1, La_f=None, PFDR_rho=1.0,
@@ -466,7 +467,7 @@ def pfdr_loss_d1_simplex_api(Q, al, Eu, Ev, La_d1, La_f=None, PFDR_rho=1.0,
             np.broadcast_to(np.asarray(La_f), (Q.shape[0],)), dtype),
         p0=None if P0 is None else jnp.asarray(np.asarray(P0), dtype),
         opt=_pfdr_options(PFDR_rho, PFDR_condMin, PFDR_difRcd, PFDR_difTol,
-                          PFDR_itMax),
+                          PFDR_itMax, verbose),
         monitor=monitor)
     it = int(res.it)
     return PFDROutput(np.asarray(res.p), it,

@@ -46,6 +46,11 @@ class PFDROptions:
         supports it, the backend is TPU and the dtype is float32; "on"
         forces it (interpreted off-TPU, for testing); "off" disables it.
         The fused and unfused paths compute the same update.
+      verbose: 0 silences the solver; a positive value prints an
+        iteration/evolution progress line every ``verbose`` iterations
+        from inside the jitted loop (host callback) — the analog of the
+        reference's per-iteration printf
+        (``PFDR_graph_quadratic_d1_l1.cpp:43-55``).
     """
 
     rho: float = 1.0
@@ -54,6 +59,7 @@ class PFDROptions:
     dif_tol: float = 1e-4
     it_max: int = 10_000
     fused: str = "auto"
+    verbose: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +87,10 @@ class CPOptions:
         full graphs that live on device; applies to the quadratic
         steepest cuts and the multi-label alpha-expansion cuts.  The
         duplex ternary cut always uses the host solver (directed arcs).
+      cut_tol: duality-gap certificate of the device min-cut (relative to
+        the problem's cost scale); an uncertified cut triggers a warning
+        and a fallback to the host solver.
+      cut_it_max: iteration cap of the device min-cut's PDHG loop.
     """
 
     dif_tol: float = 1e-3
@@ -90,6 +100,8 @@ class CPOptions:
     host_small: str = "auto"
     host_small_max: int = 1024
     cut: str = "host"
+    cut_tol: float = 1e-6
+    cut_it_max: int = 200_000
 
 
 # Parameters used by the reference cut-pursuit solvers for the power-method

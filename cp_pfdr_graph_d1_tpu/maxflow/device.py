@@ -34,6 +34,7 @@ round-trips dominate (select with ``CPOptions(cut="device")``).
 """
 from __future__ import annotations
 
+import warnings
 from functools import partial
 
 import jax
@@ -107,13 +108,19 @@ def min_cut_device(num_vertices: int, eu, ev, w, c, *,
                    graph: GraphD1 | None = None,
                    tol: float = 1e-6, it_max: int = 200_000,
                    check_every: int = 250,
-                   dtype=jnp.float32) -> np.ndarray:
+                   dtype=jnp.float32, return_gap: bool = False):
     """Device-resident drop-in for :func:`..maxflow.min_cut`.
 
-    Returns ``side`` (uint8 [V], 1 for vertices in the minimizing U).
-    Infinite entries of ``c`` are clamped beyond any finite cut, as in the
-    host solver.  ``tol`` is the absolute duality-gap certificate the
-    returned cut satisfies (relative to the problem's cost scale).
+    Returns ``side`` (uint8 [V], 1 for vertices in the minimizing U), or
+    ``(side, gap, certified)`` when ``return_gap`` is set.  Infinite
+    entries of ``c`` are clamped beyond any finite cut, as in the host
+    solver.  ``tol`` is the absolute duality-gap certificate the returned
+    cut satisfies (relative to the problem's cost scale); if the PDHG
+    iteration exits at ``it_max`` with the gap still above it, the cut is
+    NOT certified optimal — a :class:`UserWarning` is emitted (the
+    reference's analog is its ``test_consistency`` debug checker,
+    ``/root/reference/src/maxflow.cpp:633``; cut-pursuit falls back to
+    the host solver in that case, see ``solvers/cut_pursuit.py``).
     """
     w = np.asarray(w, np.float64)
     c = np.asarray(c, np.float64)
@@ -125,11 +132,41 @@ def min_cut_device(num_vertices: int, eu, ev, w, c, *,
         graph = GraphD1.create(eu, ev, w, num_vertices=num_vertices,
                                dtype=dtype)
     scale = max(big, 1.0)
-    side, gap, _ = _pdhg_min_cut(graph, jnp.asarray(w, dtype),
-                                 jnp.asarray(c, dtype),
-                                 jnp.asarray(tol * scale, dtype),
-                                 it_max, check_every)
-    return np.asarray(jax.device_get(side)).astype(np.uint8)
+    side, gap, it = _pdhg_min_cut(graph, jnp.asarray(w, dtype),
+                                  jnp.asarray(c, dtype),
+                                  jnp.asarray(tol * scale, dtype),
+                                  it_max, check_every)
+    side = np.asarray(jax.device_get(side)).astype(np.uint8)
+    gap = float(gap)
+    certified = gap <= tol * scale
+    if not certified:
+        warnings.warn(
+            f"device min-cut exited at it_max={it_max} with duality gap "
+            f"{gap:.3g} > certificate {tol * scale:.3g}; the returned cut "
+            "is not certified optimal", UserWarning, stacklevel=2)
+    if return_gap:
+        return side, gap, certified
+    return side
+
+
+def min_cut_device_with_fallback(num_vertices: int, eu, ev, w, c, *,
+                                 tol: float = 1e-6,
+                                 it_max: int = 200_000,
+                                 check_every: int = 250) -> np.ndarray:
+    """Device min-cut that falls back to the host push-relabel when the
+    duality-gap certificate fails — cut-pursuit's steepest cut must be
+    exact, so an uncertified relaxation result is never used silently."""
+    side, _, certified = min_cut_device(num_vertices, eu, ev, w, c,
+                                        tol=tol, it_max=it_max,
+                                        check_every=min(check_every,
+                                                        it_max),
+                                        return_gap=True)
+    if certified:
+        return side
+    warnings.warn("falling back to the host min-cut solver for this cut",
+                  UserWarning, stacklevel=2)
+    from . import min_cut
+    return min_cut(num_vertices, eu, ev, w, c)
 
 
 def cut_value(eu, ev, w, c, side) -> float:

@@ -62,3 +62,42 @@ def operator_norm(gram_apply, dim: int, dtype=jnp.float32, *,
     _, b, _, _ = jax.lax.while_loop(
         cond, body, (x, b, jnp.asarray(0), jnp.asarray(False)))
     return jnp.max(b)
+
+
+class MatApply:
+    """Hashable symmetric-matrix application for :func:`operator_norm`."""
+
+    def __init__(self, m):
+        self.m = m
+
+    def __call__(self, x):
+        return self.m @ x
+
+
+class GramApply:
+    """Hashable ``A^t A`` application for :func:`operator_norm`."""
+
+    def __init__(self, a):
+        self.a = a
+
+    def __call__(self, x):
+        return self.a.T @ (self.a @ x)
+
+
+def dense_operator_norm(a, *, tol: float = OPERATOR_NORM_TOL,
+                        it_max: int = OPERATOR_NORM_IT_MAX,
+                        nb_init: int = OPERATOR_NORM_NB_INIT, key=None):
+    """``||A||^2`` for a dense [M, N] matrix with the reference's
+    pre-symmetrization cost rule
+    (``/root/reference/src/operator_norm_matrix.cpp:116``): when
+    ``2 M N it > M N P + P^2 it`` with ``P = min(M, N)``, it is cheaper to
+    precompute the smaller Gram matrix (``A A^t`` or ``A^t A``) once and
+    power-iterate on it than to apply ``A`` twice per iteration."""
+    m, n = a.shape
+    p = min(m, n)
+    if 2 * m * n * it_max > m * n * p + p * p * it_max:
+        gram = a @ a.T if m <= n else a.T @ a
+        return operator_norm(MatApply(gram), p, a.dtype, tol=tol,
+                             it_max=it_max, nb_init=nb_init, key=key)
+    return operator_norm(GramApply(a), n, a.dtype, tol=tol, it_max=it_max,
+                         nb_init=nb_init, key=key)

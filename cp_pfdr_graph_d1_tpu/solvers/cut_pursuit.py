@@ -131,22 +131,8 @@ def _reduce_diag(diag, obs, cv, rv_cap: int):
     return rdiag, ry, rdiag
 
 
-class _MatApply:
-    """Hashable symmetric-matrix application for the power method."""
-
-    def __init__(self, m):
-        self.m = m
-
-    def __call__(self, x):
-        return self.m @ x
-
-
-class _GramApply:
-    def __init__(self, a):
-        self.a = a
-
-    def __call__(self, x):
-        return self.a.T @ (self.a @ x)
+from ..ops.power_iter import GramApply as _GramApply  # noqa: E402
+from ..ops.power_iter import MatApply as _MatApply  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -294,7 +280,9 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     dif_tol2 = opt.dif_tol * opt.dif_tol
 
     if opt.cut == "device":
-        from ..maxflow.device import min_cut_device as min_cut_fn
+        from ..maxflow.device import min_cut_device_with_fallback
+        min_cut_fn = partial(min_cut_device_with_fallback,
+                             tol=opt.cut_tol, it_max=opt.cut_it_max)
     elif opt.cut == "host":
         min_cut_fn = maxflow.min_cut
     else:

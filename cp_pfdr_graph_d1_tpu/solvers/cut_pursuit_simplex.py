@@ -126,7 +126,11 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
     eps = machine_eps(dtype, min(tol_scale, ptol))
 
     if opt.cut == "device":
-        from ..maxflow.device import min_cut_device as min_cut_fn
+        from functools import partial
+
+        from ..maxflow.device import min_cut_device_with_fallback
+        min_cut_fn = partial(min_cut_device_with_fallback,
+                             tol=opt.cut_tol, it_max=opt.cut_it_max)
     elif opt.cut == "host":
         min_cut_fn = maxflow.min_cut
     else:

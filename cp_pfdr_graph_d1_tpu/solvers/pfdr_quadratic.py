@@ -74,6 +74,26 @@ class PFDRResult(NamedTuple):
     dif: jax.Array   # [it_max]
 
 
+class PFDRSolveState(NamedTuple):
+    """Complete loop-carried solver state — everything needed to resume a
+    long inner solve mid-way and reproduce the uninterrupted trajectory
+    (the reference's restart structs persist only the outer-loop data and
+    are untested, ``CP_PFDR_graph_quadratic_d1_l1.hpp:36-42``).
+
+    Obtain with ``pfdr_quadratic_d1(..., return_state=True)``, persist with
+    :func:`..utils.checkpoint.save_state`, and resume by passing it back
+    as ``state0=`` (with the SAME graph container, operator, options and
+    dtype — the z layout follows the container's edge order)."""
+    x: jax.Array
+    zu: jax.Array
+    zv: jax.Array
+    pre: Precond
+    x_prev: jax.Array
+    dif: jax.Array
+    dif_rcd2: jax.Array
+    it: jax.Array
+
+
 def _safe_div(num, den, fill=0.0):
     ok = den != 0
     return jnp.where(ok, num / jnp.where(ok, den, 1), fill)
@@ -214,7 +234,8 @@ def _full_obj(op: QuadOp, x, obs, graph: GraphD1, la_l1, vprox: VertexProx):
     return obj
 
 
-@partial(jax.jit, static_argnames=("vprox", "ltype", "opt", "monitor"))
+@partial(jax.jit, static_argnames=("vprox", "ltype", "opt", "monitor",
+                                   "return_state"))
 def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                       la_l1=None,
                       vprox: VertexProx = VertexProx(),
@@ -222,7 +243,9 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                       ltype: Lipsch = Lipsch.SCAL,
                       x0=None,
                       opt: PFDROptions = PFDROptions(),
-                      monitor: bool = False) -> PFDRResult:
+                      monitor: bool = False,
+                      state0: PFDRSolveState | None = None,
+                      return_state: bool = False):
     """Runs the PFDR iteration to convergence (jitted end-to-end).
 
     Args:
@@ -234,9 +257,14 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
       lipsch: optional Lipschitz bound (scalar, or [V] with ``ltype=DIAG``).
       x0: initial iterate (defaults to zeros, as the reference callers use).
       monitor: when True, records objective and evolution traces.
+      state0: optional :class:`PFDRSolveState` from an earlier
+        ``return_state=True`` call — resumes the loop exactly where it
+        stopped (same graph/operator/options required); ``x0`` is ignored.
+      return_state: when True, returns ``(result, PFDRSolveState)``.
 
     Returns:
-      :class:`PFDRResult` with the solution, iteration count and traces.
+      :class:`PFDRResult` with the solution, iteration count and traces
+      (plus the final solve state when ``return_state``).
     """
     vcount = graph.num_vertices
     dtype = obs.dtype
@@ -252,8 +280,14 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     dif_rcd2 = opt.dif_rcd * opt.dif_rcd
     rho = jnp.asarray(opt.rho, dtype)
 
-    pre = initial_precondition(op, obs, graph, la_l1, opt.rho, lipsch, ltype)
-    zu, zv = graph.gather_endpoints(x0)
+    if state0 is not None:
+        pre = state0.pre
+        zu, zv = state0.zu, state0.zv
+        x0 = state0.x
+    else:
+        pre = initial_precondition(op, obs, graph, la_l1, opt.rho, lipsch,
+                                   ltype)
+        zu, zv = graph.gather_endpoints(x0)
 
     # fused Pallas iteration (stencil graphs): one kernel for the edge +
     # vertex stage instead of ~10F small XLA fusions
@@ -267,10 +301,14 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
 
     n_trace = opt.it_max + 1 if monitor else 1
     state = PFDRState(
-        x=x0, zu=zu, zv=zv, pre=pre, x_prev=x0,
-        dif=jnp.asarray(max(dif_tol2, dif_rcd2), dtype),
-        dif_rcd2=jnp.asarray(dif_rcd2, dtype),
-        it=jnp.asarray(0, jnp.int32),
+        x=x0, zu=zu, zv=zv, pre=pre,
+        x_prev=state0.x_prev if state0 is not None else x0,
+        dif=(state0.dif if state0 is not None
+             else jnp.asarray(max(dif_tol2, dif_rcd2), dtype)),
+        dif_rcd2=(state0.dif_rcd2 if state0 is not None
+                  else jnp.asarray(dif_rcd2, dtype)),
+        it=(state0.it if state0 is not None
+            else jnp.asarray(0, jnp.int32)),
         obj_trace=jnp.zeros((n_trace,), dtype),
         dif_trace=jnp.zeros((n_trace,), dtype),
     )
@@ -334,6 +372,20 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         if monitor:
             dif_trace = dif_trace.at[s.it].set(dif)
 
+        # progress reporting from inside the jitted loop, every
+        # opt.verbose iterations (reference per-iteration printf,
+        # PFDR_graph_quadratic_d1_l1.cpp:43-55); statically omitted at 0
+        if opt.verbose:
+            def _report(it, d):
+                print(f"PFDR iteration {int(it)} (max. {opt.it_max}); "
+                      f"relative evolution {float(d):.3e} "
+                      f"(tol {dif_tol:.1e})", flush=True)
+
+            jax.lax.cond(
+                (s.it + 1) % opt.verbose == 0,
+                lambda args: jax.debug.callback(_report, *args),
+                lambda args: None, (s.it + 1, dif))
+
         return PFDRState(x=x, zu=zu, zv=zv, pre=pre, x_prev=x,
                          dif=dif, dif_rcd2=dif_rcd2, it=s.it + 1,
                          obj_trace=obj_trace, dif_trace=dif_trace)
@@ -343,4 +395,9 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     if monitor:
         obj_trace = obj_trace.at[s.it].set(
             _full_obj(op, s.x, obs, graph, la_l1, vprox))
-    return PFDRResult(x=s.x, it=s.it, obj=obj_trace, dif=s.dif_trace)
+    res = PFDRResult(x=s.x, it=s.it, obj=obj_trace, dif=s.dif_trace)
+    if return_state:
+        return res, PFDRSolveState(x=s.x, zu=s.zu, zv=s.zv, pre=s.pre,
+                                   x_prev=s.x_prev, dif=s.dif,
+                                   dif_rcd2=s.dif_rcd2, it=s.it)
+    return res

@@ -274,8 +274,11 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
     pre = initial_precondition_simplex(al, laf, graph, q, p0, opt.rho)
 
     # whole-iteration fused Pallas loop (stencil graphs, no recondition /
-    # monitor): ~30 XLA dispatches per iteration collapse into one kernel
+    # monitor / verbose — those run the staged path, which computes the
+    # same update): ~30 XLA dispatches per iteration collapse into one
+    # kernel
     if (opt.fused != "off" and opt.dif_rcd == 0 and not monitor
+            and opt.verbose == 0
             and getattr(graph, "supports_fused", False)):
         if opt.fused == "on":
             return _simplex_fused_loop(
@@ -356,6 +359,19 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
         dif_trace = s.dif_trace
         if monitor:
             dif_trace = dif_trace.at[s.it].set(dif)
+
+        # in-loop progress reporting (reference printf contract,
+        # PFDR_graph_loss_d1_simplex.cpp:44-56); statically omitted at 0
+        if opt.verbose:
+            def _report(it, d):
+                print(f"PFDR iteration {int(it)} (max. {opt.it_max}); "
+                      f"relative evolution {float(d):.3e} "
+                      f"(tol {opt.dif_tol:.1e})", flush=True)
+
+            jax.lax.cond(
+                (s.it + 1) % opt.verbose == 0,
+                lambda args: jax.debug.callback(_report, *args),
+                lambda args: None, (s.it + 1, dif))
         return SimplexState(p=p, zu=zu, zv=zv, pre=pre, prev=prev, dif=dif,
                             dif_rcd=dif_rcd, it=s.it + 1,
                             obj_trace=obj_trace, dif_trace=dif_trace)

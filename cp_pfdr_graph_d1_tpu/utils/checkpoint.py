@@ -1,12 +1,21 @@
-"""Checkpoint / resume for cut-pursuit solver state.
+"""Checkpoint / resume for solver state.
 
 The reference declares warm-restart structs but never tests or persists
 them (``CPql1_Restart``, ``/root/reference/include/
-CP_PFDR_graph_quadratic_d1_l1.hpp:36-42,125-129``).  Here the outer-loop
-state (active-edge flags, component labels, component values) is a plain
-NamedTuple of arrays: it round-trips through ``.npz`` files and can resume
-a solve on the same or updated observations via the solvers' ``state=``
-argument.
+CP_PFDR_graph_quadratic_d1_l1.hpp:36-42,125-129``).  Here solver state is
+plain NamedTuples of arrays that round-trip through ``.npz`` files:
+
+* :class:`~..solvers.cut_pursuit.CPState` /
+  :class:`~..solvers.cut_pursuit_simplex.CPSimplexState` — outer-loop
+  state (active-edge flags, component labels, component values); resumes
+  a cut-pursuit solve via the solvers' ``state=`` argument.
+* :class:`~..solvers.pfdr_quadratic.PFDRSolveState` — the COMPLETE
+  loop-carried inner-solver state (iterate, auxiliary ``zu``/``zv``, the
+  preconditioner products, reconditioning threshold, iteration count);
+  obtained with ``pfdr_quadratic_d1(..., return_state=True)`` and resumed
+  via ``state0=``, reproducing the uninterrupted trajectory exactly.
+  Resume requires the same graph container, operator, options and dtype
+  (the z layout follows the container's edge order).
 """
 from __future__ import annotations
 
@@ -15,20 +24,31 @@ import numpy as np
 
 from ..solvers.cut_pursuit import CPState
 from ..solvers.cut_pursuit_simplex import CPSimplexState
+from ..solvers.pfdr_quadratic import PFDRSolveState, Precond
 
-_KIND = {"quadratic": CPState, "simplex": CPSimplexState}
+_KIND = {"quadratic": CPState, "simplex": CPSimplexState,
+         "pfdr": PFDRSolveState}
+
+
+def _flatten(state, prefix=""):
+    out = {}
+    for f in state._fields:
+        v = getattr(state, f)
+        if hasattr(v, "_fields"):  # nested NamedTuple (Precond)
+            out.update(_flatten(v, prefix=f"{prefix}{f}."))
+        else:
+            out[prefix + f] = np.asarray(v)
+    return out
 
 
 def save_state(path, state) -> None:
-    """Persists a :class:`CPState` or :class:`CPSimplexState` to ``path``."""
-    if isinstance(state, CPState):
-        kind = "quadratic"
-    elif isinstance(state, CPSimplexState):
-        kind = "simplex"
+    """Persists a solver state NamedTuple to ``path`` (.npz)."""
+    for kind, cls in _KIND.items():
+        if isinstance(state, cls):
+            break
     else:
         raise TypeError(f"unsupported state type {type(state)!r}")
-    payload = {f: np.asarray(getattr(state, f)) for f in state._fields}
-    np.savez(path, __kind__=kind, **payload)
+    np.savez(path, __kind__=kind, **_flatten(state))
 
 
 def load_state(path):
@@ -38,4 +58,9 @@ def load_state(path):
         cls = _KIND.get(kind)
         if cls is None:
             raise ValueError(f"unknown state kind {kind!r}")
+        if cls is PFDRSolveState:
+            pre = Precond(**{f: data[f"pre.{f}"] for f in Precond._fields})
+            rest = {f: data[f] for f in PFDRSolveState._fields
+                    if f != "pre"}
+            return PFDRSolveState(pre=pre, **rest)
         return cls(**{f: data[f] for f in cls._fields})

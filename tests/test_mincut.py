@@ -147,6 +147,83 @@ def test_device_cut_grid_value():
                - cut_value(eu, ev, la, c, host)) < 1e-7
 
 
+def test_device_cut_certificate_warning_and_gap():
+    """A starved PDHG loop (tiny it_max) emits the uncertified warning and
+    reports the failed gap; with the normal budget the same cut certifies."""
+    import pytest
+
+    from cp_pfdr_graph_d1_tpu.maxflow.device import min_cut_device
+    from .conftest import make_grid_graph
+
+    eu, ev, w = make_grid_graph(8, 8, seed=5)
+    r = np.random.default_rng(6)
+    c = r.normal(size=64)
+    with pytest.warns(UserWarning, match="not certified"):
+        side, gap, certified = min_cut_device(64, eu, ev, w, c, it_max=1,
+                                              check_every=1,
+                                              return_gap=True)
+    assert not certified and gap > 0
+    side, gap, certified = min_cut_device(64, eu, ev, w, c,
+                                          return_gap=True)
+    assert certified
+
+
+def test_device_cut_fallback_matches_host():
+    """min_cut_device_with_fallback under a starved budget warns, falls
+    back to the host solver, and returns the exact host cut value."""
+    import pytest
+
+    from cp_pfdr_graph_d1_tpu import maxflow
+    from cp_pfdr_graph_d1_tpu.maxflow.device import (
+        cut_value, min_cut_device_with_fallback)
+    from .conftest import make_grid_graph
+
+    eu, ev, w = make_grid_graph(8, 8, seed=7)
+    r = np.random.default_rng(8)
+    c = r.normal(size=64)
+    with pytest.warns(UserWarning, match="falling back"):
+        side = min_cut_device_with_fallback(64, eu, ev, w, c, it_max=1)
+    want = cut_value(eu, ev, w, c, maxflow.min_cut(64, eu, ev, w, c))
+    np.testing.assert_allclose(cut_value(eu, ev, w, c, side), want,
+                               rtol=1e-12)
+
+
+def test_cut_pursuit_device_cut_fallback():
+    """cp_quadratic_d1(cut="device") with a starved PDHG budget falls back
+    to host cuts and still reaches the host-cut solution."""
+    import jax.numpy as jnp
+    import pytest
+
+    from cp_pfdr_graph_d1_tpu import CPOptions, DenseOp, GraphD1, \
+        PFDROptions
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+    from .conftest import make_grid_graph
+
+    h = w_ = 8
+    v = h * w_
+    eu, ev, la = make_grid_graph(h, w_, seed=21)
+    r = np.random.default_rng(22)
+    a = r.normal(size=(30, v)) / np.sqrt(30)
+    x_true = np.zeros((h, w_))
+    x_true[1:4, 1:4] = 1.5
+    y = a @ x_true.ravel() + 0.02 * r.normal(size=30)
+    la_l1 = np.full(v, 0.02)
+    graph = GraphD1.create(eu, ev, 0.3 * la, dtype=jnp.float64)
+    pfdr = PFDROptions(rho=1.5, dif_tol=1e-9, it_max=5000)
+
+    base = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
+        opt=CPOptions(dif_tol=1e-5, it_max=10, pfdr=pfdr, cut="host"))
+    with pytest.warns(UserWarning, match="falling back"):
+        res = cp_quadratic_d1(
+            DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
+            opt=CPOptions(dif_tol=1e-5, it_max=10, pfdr=pfdr,
+                          cut="device", cut_it_max=1))
+    np.testing.assert_allclose(np.asarray(res.rx)[np.asarray(res.cv)],
+                               np.asarray(base.rx)[np.asarray(base.cv)],
+                               atol=1e-6)
+
+
 def test_cut_pursuit_with_device_cut():
     """cp_quadratic_d1(cut="device") reaches the host-cut solution."""
     import jax.numpy as jnp

@@ -77,6 +77,24 @@ def test_operator_norm_vs_svd():
     np.testing.assert_allclose(sq, expected, rtol=1e-4)
 
 
+@pytest.mark.oracle
+@pytest.mark.parametrize("shape", [(12, 400), (400, 12), (60, 50)])
+def test_dense_operator_norm_cost_rule_vs_reference(shape):
+    """dense_operator_norm applies the reference's pre-symmetrization cost
+    rule (operator_norm_matrix.cpp:116) and matches the reference value on
+    tall, wide, and near-square matrices."""
+    from cp_pfdr_graph_d1_tpu.ops.power_iter import dense_operator_norm
+
+    rng = np.random.default_rng(13)
+    a = rng.normal(size=shape)
+    ours = float(dense_operator_norm(jnp.asarray(a), tol=1e-6,
+                                     it_max=1000))
+    ref = _oracle.operator_norm(a, nTol=1e-6, itMax=1000)
+    expected = np.linalg.svd(a, compute_uv=False)[0] ** 2
+    np.testing.assert_allclose(ours, expected, rtol=1e-3)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3)
+
+
 def test_graph_edge_to_vertex_sum_matches_dense_scatter():
     rng = np.random.default_rng(4)
     v, e = 30, 80

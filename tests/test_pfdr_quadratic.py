@@ -210,3 +210,28 @@ def test_padded_problem_matches_unpadded():
     np.testing.assert_allclose(np.asarray(padded.x)[:v],
                                np.asarray(base.x), atol=1e-9)
     np.testing.assert_allclose(np.asarray(padded.x)[v:], 0.0, atol=1e-12)
+
+
+def test_verbose_progress_prints_from_jitted_loop(capsys):
+    """opt.verbose=k prints an iteration/evolution line every k iterations
+    from inside the jitted while_loop (reference printf contract,
+    PFDR_graph_quadratic_d1_l1.cpp:43-55)."""
+    import jax
+
+    r = np.random.default_rng(41)
+    eu, ev, la = make_grid_graph(6, 6, seed=42)
+    v, n = 36, 10
+    a = r.normal(size=(n, v)) / np.sqrt(n)
+    y = a @ r.normal(size=v)
+    g = GraphD1.create(eu, ev, 0.1 * la, dtype=jnp.float64)
+    lip = float(np.linalg.eigvalsh(a @ a.T)[-1])
+    res = pfdr_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), g,
+        la_l1=jnp.full((v,), 0.02), vprox=VertexProx(kind="l1"),
+        lipsch=lip, opt=PFDROptions(dif_tol=0.0, it_max=25, verbose=10))
+    jax.effects_barrier()
+    out = capsys.readouterr().out
+    assert "PFDR iteration 10 (max. 25)" in out
+    assert "PFDR iteration 20 (max. 25)" in out
+    assert "relative evolution" in out
+    assert int(res.it) == 25

@@ -1,4 +1,5 @@
 """Checkpoint round-trip and resume-with-updated-data."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,3 +58,51 @@ def test_checkpoint_simplex_roundtrip(tmp_path):
     state = load_state(path)
     assert isinstance(state, CPSimplexState)
     np.testing.assert_array_equal(state.rp, res.state.rp)
+
+
+def test_pfdr_state_kill_resume_reproduces_trajectory(tmp_path):
+    """A PFDR solve stopped mid-way (return_state=True), persisted to npz,
+    reloaded, and resumed (state0=) reproduces the uninterrupted
+    trajectory exactly — including the stateful reconditioning decay
+    (dif_rcd) the reference cannot checkpoint at all."""
+    from cp_pfdr_graph_d1_tpu import VertexProx
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_quadratic import (
+        PFDRSolveState, pfdr_quadratic_d1)
+
+    r = np.random.default_rng(31)
+    h = w = 12
+    v, n = h * w, 20
+    eu, ev, la = make_grid_graph(h, w, seed=32)
+    a = r.normal(size=(n, v)) / np.sqrt(n)
+    y = a @ r.normal(size=v) * 0.5
+    graph = GraphD1.create(eu, ev, 0.2 * la, dtype=jnp.float64)
+    la_l1 = jnp.full((v,), 0.03)
+    lip = float(np.linalg.eigvalsh(a @ a.T)[-1])
+    kw = dict(la_l1=la_l1, vprox=VertexProx(kind="l1"), lipsch=lip)
+    op = DenseOp(jnp.asarray(a))
+    obs = jnp.asarray(y)
+
+    def opts(it_max):
+        return PFDROptions(rho=1.4, dif_rcd=1e-2, dif_tol=0.0,
+                           it_max=it_max)
+
+    full, full_state = pfdr_quadratic_d1(op, obs, graph, opt=opts(200),
+                                         return_state=True, **kw)
+
+    _, mid = pfdr_quadratic_d1(op, obs, graph, opt=opts(80),
+                               return_state=True, **kw)
+    path = tmp_path / "pfdr.npz"
+    save_state(path, jax.device_get(mid))
+    loaded = load_state(path)
+    assert isinstance(loaded, PFDRSolveState)
+    assert int(loaded.it) == 80
+    res, res_state = pfdr_quadratic_d1(op, obs, graph, opt=opts(200),
+                                       state0=loaded, return_state=True,
+                                       **kw)
+
+    assert int(res.it) == int(full.it) == 200
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(full.x))
+    np.testing.assert_array_equal(np.asarray(res_state.zu),
+                                  np.asarray(full_state.zu))
+    np.testing.assert_array_equal(np.asarray(res_state.dif_rcd2),
+                                  np.asarray(full_state.dif_rcd2))
