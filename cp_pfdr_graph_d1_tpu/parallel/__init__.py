@@ -1,4 +1,5 @@
-from .cp_dist import cp_quadratic_d1_dist, shard_cp_quadratic_problem
+from .cp_dist import (cp_loss_d1_simplex_dist, cp_quadratic_d1_dist,
+                      shard_cp_quadratic_problem)
 from .dp import (DistDenseOp, ShardedQuadraticProblem,
                  ShardedSimplexProblem, pfdr_loss_d1_simplex_sharded,
                  pfdr_quadratic_d1_sharded, shard_quadratic_problem,
@@ -9,7 +10,8 @@ from .halo import (ColShardDenseOp, HaloSimplexProblem, HaloStencilGraphD1,
 from .mesh import (initialize_distributed, make_hybrid_mesh, make_mesh,
                    put_sharded)
 
-__all__ = ["cp_quadratic_d1_dist", "shard_cp_quadratic_problem",
+__all__ = ["cp_loss_d1_simplex_dist", "cp_quadratic_d1_dist",
+           "shard_cp_quadratic_problem",
            "DistDenseOp", "ShardedQuadraticProblem",
            "ShardedSimplexProblem", "make_mesh", "make_hybrid_mesh",
            "initialize_distributed", "put_sharded",

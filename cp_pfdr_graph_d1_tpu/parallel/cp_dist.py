@@ -94,6 +94,36 @@ def shard_cp_quadratic_problem(op: QuadOp, obs, mesh: Mesh,
     raise TypeError(f"unsupported operator type {type(op).__name__}")
 
 
+def cp_loss_d1_simplex_dist(graph: GraphD1, q, mesh: Mesh, *, al: float,
+                            opt: CPOptions = CPOptions(),
+                            monitor: bool = False,
+                            state=None, axis: str = "dp"):
+    """Multi-label cut-pursuit with the [V, K] observation sharded over the
+    mesh's vertex axis.
+
+    The O(V K) stages — the loss gradient
+    (``CP_PFDR_graph_loss_d1_simplex.cpp:327-354``) and the reduced
+    barycenter contraction (``:733-766``, a one-hot MXU matmul) — run as
+    jitted GSPMD ops on the sharded observation (each chip computes its
+    row block; the contraction all-reduces [rV, K]); the combinatorial
+    alpha-expansion cuts stay replicated on host, as in the quadratic
+    distribution.  Same contract as
+    :func:`~..solvers.cut_pursuit_simplex.cp_loss_d1_simplex`.
+    """
+    import dataclasses as _dc
+
+    from ..solvers.cut_pursuit_simplex import cp_loss_d1_simplex
+    q_np = np.asarray(q)
+    n_dev = mesh.shape[axis]
+    v_pad = -(-q_np.shape[0] // n_dev) * n_dev
+    if v_pad != q_np.shape[0]:  # zero rows are inert in every stage
+        q_np = np.pad(q_np, ((0, v_pad - q_np.shape[0]), (0, 0)))
+    q_sh = jax.device_put(q_np, NamedSharding(mesh, P(axis, None)))
+    opt = _dc.replace(opt, host_small="off")
+    return cp_loss_d1_simplex(graph, q_sh, al=al, opt=opt, monitor=monitor,
+                              state=state, device_obs=True)
+
+
 def cp_quadratic_d1_dist(op: QuadOp, obs, graph: GraphD1, mesh: Mesh, *,
                          la_l1=None, positivity: bool = False,
                          bounds=None, duplex: bool = False,

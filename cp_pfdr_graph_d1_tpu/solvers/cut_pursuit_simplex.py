@@ -14,6 +14,7 @@ which is algebraically identical.
 from __future__ import annotations
 
 import time as _time
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -59,6 +60,30 @@ def _loss_grad_np(al, p_full, q, la_f=None):
     return -(al_k + al_1 * q) / (al_k / al_1 + p_full)
 
 
+@partial(jax.jit, static_argnames=("al",))
+def _loss_grad_device(q, p_full, al: float):
+    """Jitted twin of :func:`_loss_grad_np`: elementwise over [V, K], so a
+    vertex-sharded ``q`` (GSPMD) computes its shard locally."""
+    k = q.shape[1]
+    if al == 0.0:
+        return -q
+    if al == 1.0:
+        return p_full - q
+    al_k = al / k
+    al_1 = 1.0 - al
+    return -(al_k + al_1 * q) / (al_k / al_1 + p_full)
+
+
+@partial(jax.jit, static_argnames=("rv_cap",))
+def _reduce_obs_device(q, cv, rv_cap: int):
+    """Reduced observations on device: component sums of ``q`` rows and
+    component sizes as one-hot MXU contractions
+    (``CP_PFDR_graph_loss_d1_simplex.cpp:733-766``).  Under GSPMD with
+    ``q`` sharded over the vertex axis this is a local matmul + psum."""
+    s = jax.nn.one_hot(cv, rv_cap, dtype=q.dtype)
+    return s.T @ q, jnp.sum(s, axis=0)
+
+
 def _alpha_expansion_cuts(dfs, rdi, cv, eu, ev, la_d1, active, eps,
                           min_cut_fn=None):
     """Runs the K-1 binary expansion cuts; returns the per-vertex final
@@ -96,8 +121,8 @@ def _alpha_expansion_cuts(dfs, rdi, cv, eu, ev, la_d1, active, eps,
 def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
                        opt: CPOptions = CPOptions(),
                        monitor: bool = False,
-                       state: Optional[CPSimplexState] = None
-                       ) -> CPSimplexResult:
+                       state: Optional[CPSimplexState] = None,
+                       device_obs: bool = False) -> CPSimplexResult:
     """Multi-label cut-pursuit solve.
 
     Args:
@@ -106,6 +131,10 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
       al: loss selector — 0 linear, 1 quadratic, in ]0,1[ smoothed-KL.
       opt: outer options; ``opt.dif_tol >= 1`` switches the stopping
         criterion to the number of changed maximum-likelihood labels.
+      device_obs: compute the O(V K) observation stages (loss gradient,
+        reduced barycenters) as jitted device ops on ``q`` as given —
+        pass a mesh-sharded ``q`` (:func:`~..parallel.cp_dist
+        .cp_loss_d1_simplex_dist`) and GSPMD runs them distributed.
 
     Returns component labels and [rV, K] component distributions
     (full solution ``p = rp[cv]``).
@@ -114,10 +143,22 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
     eu = np.asarray(graph.eu)
     ev = np.asarray(graph.ev)
     la_d1 = np.asarray(graph.la_d1)
-    q = np.asarray(q)
-    num_v, k = q.shape
+    if device_obs:
+        # q stays a (possibly mesh-sharded) device array; the O(V K)
+        # observation stages run jitted and GSPMD-distributed on it.
+        # Rows beyond the vertex count are zero padding (sharding
+        # divisibility), inert in every stage below.
+        q_dev = q if isinstance(q, jax.Array) else jnp.asarray(q)
+        q = None
+        num_v = graph.num_vertices
+        k = q_dev.shape[1]
+        v_pad = q_dev.shape[0] - num_v
+        dtype = np.dtype(q_dev.dtype)
+    else:
+        q = np.asarray(q)
+        num_v, k = q.shape
+        dtype = q.dtype
     num_e = graph.num_edges
-    dtype = q.dtype
     label_mode = opt.dif_tol >= 1.0
 
     tol_scale = opt.dif_tol / num_v if label_mode else opt.dif_tol
@@ -126,8 +167,6 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
     eps = machine_eps(dtype, min(tol_scale, ptol))
 
     if opt.cut == "device":
-        from functools import partial
-
         from ..maxflow.device import min_cut_device_with_fallback
         min_cut_fn = partial(min_cut_device_with_fallback,
                              tol=opt.cut_tol, it_max=opt.cut_it_max)
@@ -138,7 +177,8 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
 
     # -- initialization: unisimplicial solution (:66-148) -------------------
     if state is None:
-        qsum = q.sum(axis=0)
+        qsum = (np.asarray(jax.device_get(jnp.sum(q_dev, axis=0)))
+                if device_obs else q.sum(axis=0))
         if al == 0.0:
             rp = np.zeros((1, k), dtype)
             rp[0, np.argmax(qsum)] = 1.0
@@ -154,7 +194,8 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
     times = [0.0]
     objs = []
     difs = []
-    q_dev = jnp.asarray(q)
+    if not device_obs:
+        q_dev = jnp.asarray(q)
 
     # host-small routing: reduced multi-label problems below the crossover
     # solve on the host (native C++ PFDR), avoiding device dispatch latency
@@ -168,7 +209,8 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
 
     def objective(rp_, cv_):
         p_full = jnp.asarray(rp_[cv_])
-        return float(loss_objective(al, p_full, q_dev, None)
+        q_obj = q_dev[:num_v] if (device_obs and v_pad) else q_dev
+        return float(loss_objective(al, p_full, q_obj, None)
                      + d1_objective(graph, p_full))
 
     if monitor:
@@ -184,7 +226,13 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
         p_full = rp[cv]
 
         # -- gradient + active-edge d1 signs (:327-377) --------------------
-        dfs = _loss_grad_np(al, p_full, q)
+        if device_obs:
+            p_pad = (np.concatenate([p_full, np.full((v_pad, k), 1.0 / k)])
+                     if v_pad else p_full)
+            dfs = np.array(jax.device_get(_loss_grad_device(
+                q_dev, jnp.asarray(p_pad), float(al))))[:num_v]
+        else:
+            dfs = _loss_grad_np(al, p_full, q)
         ae = np.nonzero(active)[0]
         if len(ae):
             d = p_full[eu[ae]] - p_full[ev[ae]]
@@ -219,9 +267,20 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
         rv_cap = num_comp if host_reduce else bucket(num_comp)
 
         # -- reduced observations (:733-766) -------------------------------
-        qsum = np.zeros((rv_cap, k), dtype)
-        np.add.at(qsum, cv, q)
-        sizes = np.bincount(cv, minlength=rv_cap).astype(dtype)
+        if device_obs:
+            # out-of-range padded labels one-hot to all-zero rows (inert)
+            cv_pad = (np.concatenate([cv, np.full(v_pad, rv_cap,
+                                                  np.int32)])
+                      if v_pad else cv)
+            qsum_d, sizes_d = _reduce_obs_device(q_dev,
+                                                 jnp.asarray(cv_pad),
+                                                 rv_cap)
+            qsum = np.asarray(jax.device_get(qsum_d)).astype(dtype)
+            sizes = np.asarray(jax.device_get(sizes_d)).astype(dtype)
+        else:
+            qsum = np.zeros((rv_cap, k), dtype)
+            np.add.at(qsum, cv, q)
+            sizes = np.bincount(cv, minlength=rv_cap).astype(dtype)
         if al == 0.0:
             rq = qsum
             rp0 = np.zeros((rv_cap, k), dtype)

@@ -183,3 +183,139 @@ def test_duplex_agrees_with_two_cuts():
                          la_l1=la_l1, duplex=True, opt=opt)
     np.testing.assert_allclose(full_solution(r1.cv, r1.rx),
                                full_solution(r2.cv, r2.rx), atol=1e-4)
+
+
+@pytest.mark.oracle
+def test_device_loop_matches_reference():
+    """The fully device-resident CP loop (cut='device': device cuts,
+    components, contraction, merge) reaches the reference solution."""
+    eu, ev, la, a, y = make_problem(seed=3)
+    la_l1 = np.full(a.shape[1], 0.02)
+    opt = CPOptions(dif_tol=1e-5, it_max=12, cut="device",
+                    pfdr=PFDROptions(rho=1.5, dif_tol=1e-8, it_max=10_000))
+    res = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y),
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        la_l1=la_l1, positivity=False, opt=opt)
+    cv_r, rx_r, _, _ = _oracle.cp_ql1(
+        y, a, eu, ev, la, la_l1, 0, CP_difTol=1e-5, CP_itMax=12, rho=1.5,
+        difTol=1e-8, itMax=10_000)
+    np.testing.assert_allclose(full_solution(res.cv, res.rx),
+                               full_solution(cv_r, rx_r), atol=2e-5)
+
+
+@pytest.mark.oracle
+def test_device_loop_bounds_matches_reference():
+    eu, ev, la, a, y = make_problem(seed=5)
+    opt = CPOptions(dif_tol=1e-5, it_max=12, cut="device",
+                    pfdr=PFDROptions(rho=1.5, dif_tol=1e-8, it_max=10_000))
+    res = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y),
+        GraphD1.create(eu, ev, la, dtype=jnp.float64),
+        bounds=(-1.0, 1.0), opt=opt)
+    cv_r, rx_r = _oracle.cp_qbounds(
+        y, a, eu, ev, la, -1.0, 1.0, CP_difTol=1e-5, CP_itMax=12, rho=1.5,
+        difTol=1e-8, itMax=10_000)[:2]
+    np.testing.assert_allclose(full_solution(res.cv, res.rx),
+                               full_solution(cv_r, rx_r), atol=2e-5)
+
+
+def test_device_loop_warm_restart():
+    """The device loop accepts and returns warm-restart state."""
+    eu, ev, la, a, y = make_problem(seed=7)
+    la_l1 = np.full(a.shape[1], 0.02)
+    pfdr = PFDROptions(rho=1.5, dif_tol=1e-9, it_max=5000)
+    g = GraphD1.create(eu, ev, la, dtype=jnp.float64)
+    full = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), g,
+                           la_l1=la_l1,
+                           opt=CPOptions(dif_tol=1e-6, it_max=10,
+                                         pfdr=pfdr, cut="device"))
+    part = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), g,
+                           la_l1=la_l1,
+                           opt=CPOptions(dif_tol=1e-6, it_max=3,
+                                         pfdr=pfdr, cut="device"))
+    rest = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), g,
+                           la_l1=la_l1, state=part.state,
+                           opt=CPOptions(dif_tol=1e-6, it_max=10,
+                                         pfdr=pfdr, cut="device"))
+    np.testing.assert_allclose(full_solution(rest.cv, rest.rx),
+                               full_solution(full.cv, full.rx), atol=1e-6)
+
+
+def test_device_segment_reduction_matches_onehot():
+    """At component counts beyond the one-hot cap, the run-length segment
+    reductions must equal the one-hot contractions (same math, O(V N)
+    memory instead of O(V rV))."""
+    from cp_pfdr_graph_d1_tpu.solvers import cut_pursuit_device as d
+
+    r = np.random.default_rng(12)
+    v, n, num_comp = 9000, 8, 6000  # > _ONEHOT_MAX = 4096
+    rv_cap = 8192
+    # contiguous first-encounter labels, like _device_components produces
+    cv_raw = r.integers(0, num_comp, v).astype(np.int32)
+    _, idx = np.unique(cv_raw, return_index=True)
+    rank = np.argsort(np.argsort(idx)).astype(np.int32)
+    _, inv = np.unique(cv_raw, return_inverse=True)
+    cv = rank[inv]  # labels renumbered in first-encounter order
+    nc = int(cv.max()) + 1
+    a = r.normal(size=(n, v))
+    obs = r.normal(size=n)
+    diag = r.uniform(0.5, 2.0, v)
+    la_l1 = r.uniform(0.0, 1.0, v)
+
+    ra, ry, lip = d._segment_reduce_dense(jnp.asarray(a), jnp.asarray(obs),
+                                          jnp.asarray(cv), rv_cap, False)
+    s_mat = np.zeros((v, rv_cap))
+    s_mat[np.arange(v), cv] = 1.0
+    np.testing.assert_allclose(np.asarray(ra), a @ s_mat, atol=1e-9)
+
+    rd, ryd, lipd = d._segment_reduce_diag(jnp.asarray(diag),
+                                           jnp.asarray(obs[:1].repeat(v)),
+                                           jnp.asarray(cv), rv_cap)
+    np.testing.assert_allclose(np.asarray(rd), diag @ s_mat, atol=1e-9)
+
+    firsts = np.zeros(v, bool)
+    firsts[np.unique(cv, return_index=True)[1]] = True
+    # firsts in _device_components marks smallest-index roots; emulate:
+    # first occurrence per label in vertex order
+    x = r.normal(size=v)
+    x_const = x[np.unique(cv, return_index=True)[1]][cv]  # comp-constant
+    rl1, rx0 = d._reduce_vertex_terms(jnp.asarray(cv), jnp.asarray(x_const),
+                                      jnp.asarray(la_l1),
+                                      jnp.asarray(firsts), rv_cap)
+    np.testing.assert_allclose(np.asarray(rl1), la_l1 @ s_mat, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(rx0)[:nc],
+        x_const[np.unique(cv, return_index=True)[1]], atol=0)
+
+    # lexsort contraction at > 2^15 pair keys' worth of components
+    g = GraphD1.create(
+        r.integers(0, v, 20000).astype(np.int32),
+        r.integers(0, v, 20000).astype(np.int32),
+        r.uniform(0.1, 1.0, 20000), num_vertices=v, dtype=jnp.float64)
+    active = jnp.asarray(r.random(20000) < 0.5)
+    lo, hi, w, flags, cnt = d._contract_sort(jnp.asarray(cv), g, active)
+    reu, rev, rla = d._contract_pad(lo, hi, w, flags,
+                                    jnp.asarray(nc, jnp.int32), 1e-12,
+                                    np.dtype(np.float64),
+                                    rv_cap, int(2 ** np.ceil(np.log2(
+                                        max(int(cnt), 8)))))
+    # oracle: dict-accumulated contraction
+    want = {}
+    act = np.asarray(active)
+    eu_h, ev_h, la_h = (np.asarray(g.eu), np.asarray(g.ev),
+                        np.asarray(g.la_d1))
+    for e in range(20000):
+        if act[e] and la_h[e] > 0:
+            key = (min(cv[eu_h[e]], cv[ev_h[e]]),
+                   max(cv[eu_h[e]], cv[ev_h[e]]))
+            want[key] = want.get(key, 0.0) + la_h[e]
+    got = {}
+    for i in range(len(np.asarray(reu))):
+        wgt = float(np.asarray(rla)[i])
+        if wgt > 1e-11:
+            key = (int(np.asarray(reu)[i]), int(np.asarray(rev)[i]))
+            got[key] = got.get(key, 0.0) + wgt
+    assert set(got) == set(want)
+    for kk in want:
+        np.testing.assert_allclose(got[kk], want[kk], rtol=1e-9)

@@ -338,3 +338,63 @@ def test_cp_dist_operator_is_sharded():
     # each device holds one row block, not a replica
     shard_rows = {s.data.shape[0] for s in op.a.addressable_shards}
     assert shard_rows == {op.a.shape[0] // 8}
+
+
+def test_cp_simplex_dist_matches_single_device():
+    """Distributed multi-label cut-pursuit (vertex-sharded observation,
+    GSPMD gradient + reduced-barycenter stages) reproduces the
+    single-device outer loop exactly (same labels, same distributions)."""
+    from cp_pfdr_graph_d1_tpu import CPOptions
+    from cp_pfdr_graph_d1_tpu.parallel import cp_loss_d1_simplex_dist
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_simplex import \
+        cp_loss_d1_simplex
+
+    r = np.random.default_rng(77)
+    h, w, k = 10, 10, 3
+    v = h * w
+    eu, ev, la = make_grid_graph(h, w, seed=78)
+    labels_true = (np.arange(v) // (v // k)).clip(0, k - 1)
+    q = np.full((v, k), 0.15)
+    q[np.arange(v), labels_true] = 0.7
+    q += 0.05 * r.random((v, k))
+    q /= q.sum(axis=1, keepdims=True)
+    g = GraphD1.create(eu, ev, 0.3 * la, dtype=jnp.float64)
+    opt = CPOptions(dif_tol=1e-4, it_max=6, host_small="off",
+                    pfdr=PFDROptions(rho=1.2, dif_tol=1e-7, it_max=2000))
+
+    base = cp_loss_d1_simplex(g, jnp.asarray(q), al=0.5, opt=opt)
+    mesh = make_mesh(8)
+    res = cp_loss_d1_simplex_dist(g, q, mesh, al=0.5, opt=opt)
+
+    np.testing.assert_array_equal(res.cv, base.cv)
+    np.testing.assert_allclose(np.asarray(res.rp), np.asarray(base.rp),
+                               atol=1e-10)
+
+
+def test_cp_simplex_device_obs_matches_host_obs():
+    """device_obs=True (jitted observation stages) equals the numpy
+    stages bit-for-double on a single device."""
+    from cp_pfdr_graph_d1_tpu import CPOptions
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_simplex import \
+        cp_loss_d1_simplex
+
+    r = np.random.default_rng(79)
+    eu, ev, la = make_grid_graph(8, 8, seed=80)
+    v, k = 64, 4
+    # structured observation: the greedy cut trajectory is stable, so the
+    # two summation orders must give the same partition (an unstructured
+    # dirichlet q amplifies 1e-16 into different-but-valid partitions)
+    labels_true = (np.arange(v) // (v // k)).clip(0, k - 1)
+    q = np.full((v, k), 0.1)
+    q[np.arange(v), labels_true] = 0.7
+    q += 0.02 * r.random((v, k))
+    q /= q.sum(axis=1, keepdims=True)
+    g = GraphD1.create(eu, ev, 0.2 * la, dtype=jnp.float64)
+    opt = CPOptions(dif_tol=1e-4, it_max=5, host_small="off",
+                    pfdr=PFDROptions(dif_tol=1e-7, it_max=2000))
+    a_ = cp_loss_d1_simplex(g, jnp.asarray(q), al=1.0, opt=opt)
+    b_ = cp_loss_d1_simplex(g, jnp.asarray(q), al=1.0, opt=opt,
+                            device_obs=True)
+    np.testing.assert_array_equal(a_.cv, b_.cv)
+    np.testing.assert_allclose(np.asarray(a_.rp), np.asarray(b_.rp),
+                               atol=1e-10)
