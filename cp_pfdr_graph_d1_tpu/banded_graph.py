@@ -88,9 +88,10 @@ class BandedGraphD1(GraphD1):
         """True when the fused whole-iteration kernel applies (see
         :mod:`.ops.banded_fused`); distributed (axis_name) graphs and the
         pure-jnp mode fall back to the staged path."""
-        from .ops.banded_fused import max_fused_vertices
+        from .ops.banded_fused import supports_fused_plan
         return (self.mode != "jnp" and self.axis_name is None
-                and self.plan.v8 * 128 <= max_fused_vertices(self.plan.tile))
+                and supports_fused_plan(self.plan.tile, self.plan.wd8,
+                                        self.plan.v8))
 
     def fused_iteration(self, x, grad, pre, zu, zv, rho: float, vprox,
                         interpret: bool):
@@ -160,6 +161,17 @@ class BandedGraphD1(GraphD1):
                  for k in range(vals_u.shape[1])], axis=-1)
         if self.axis_name is not None:
             out = jax.lax.psum(out, self.axis_name)
+        return out
+
+    def edge_to_vertex_min(self, vals_u, vals_v, init):
+        """Scatter-min fallback (no incidence table here; the padded
+        duplicate edges are weight-0, so callers' masks must map them to
+        ``init``)."""
+        out = jnp.full((self.num_vertices,) + vals_u.shape[1:], init,
+                       vals_u.dtype)
+        out = out.at[self.eu].min(vals_u).at[self.ev].min(vals_v)
+        if self.axis_name is not None:
+            out = jax.lax.pmin(out, self.axis_name)
         return out
 
     def _jnp_edge_to_vertex(self, vals_u, vals_v):

@@ -228,9 +228,22 @@ class CirculantGraphD1(GraphD1):
 
     @property
     def supports_fused(self):
-        from .ops.circulant_fused import max_fused_vertices
-        return (self.axis_name is None
-                and self.vv8 * 128 <= max_fused_vertices())
+        from .ops.circulant_fused import (VMEM_BUDGET_BYTES,
+                                          max_fused_vertices)
+        if self.axis_name is not None:
+            return False
+        if self.vv8 * 128 > max_fused_vertices():
+            return False
+        if self.rem_graph is not None:
+            # remainder tile steps carry the banded-kernel temporaries
+            # (two live [tile, Wd8] row selectors); a wide window on a
+            # wide field must fall back to the staged path
+            from .ops.banded_fused import fused_vmem_bytes
+            plan = self.rem_graph.plan
+            if (fused_vmem_bytes(plan.tile, plan.wd8, self.vv8)
+                    > VMEM_BUDGET_BYTES):
+                return False
+        return True
 
     def _dense_v(self, arr, dtype):
         v, vv = self.num_vertices, self.vv8 * 128

@@ -118,6 +118,23 @@ class GraphD1:
             out = jax.lax.psum(out, self.axis_name)
         return out
 
+    def edge_to_vertex_min(self, vals_u, vals_v, init):
+        """Per-vertex minimum of incident edge-endpoint values.
+
+        Returns ``out[v] = min(init, min_{e: eu[e]==v} vals_u[e],
+        min_{e: ev[e]==v} vals_v[e])`` — the min-reduction twin of
+        :meth:`edge_to_vertex_sum`, used by the device connected-components
+        label propagation (:mod:`.ops.components`).  Entries the caller
+        wants ignored (masked edges) must carry ``init``.
+        """
+        pad = jnp.full((1,) + vals_u.shape[1:], init, vals_u.dtype)
+        vals = jnp.concatenate([vals_u, vals_v, pad], axis=0)
+        out = jnp.min(jnp.take(vals, self.incidence, axis=0), axis=1)
+        out = jnp.minimum(out, jnp.asarray(init, vals_u.dtype))
+        if self.axis_name is not None:
+            out = jax.lax.pmin(out, self.axis_name)
+        return out
+
     def edge_allsum(self, vals):
         """Global sum of a per-edge quantity (psum across shards when this
         graph is one shard of an edge partition)."""

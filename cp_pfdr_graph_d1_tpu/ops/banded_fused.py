@@ -39,13 +39,35 @@ from .banded import HI, _endpoint_sel, _pack, _selectors, _unpack
 # VMEM is ~16 MB/core; leave headroom for compiler temporaries.  Resident
 # buffers: 6 vertex-field VMEM arrays (x, grad, ga, th_l1, x out, acc
 # scratch) plus 26 edge-tile buffers (11 blocked inputs + 2 blocked
-# outputs, double-buffered) of ``tile`` elements each.
+# outputs, double-buffered) of ``tile`` elements each, plus the per-tile
+# kernel temporaries — dominated by the two live [tile, Wd8] row
+# selectors, which grow with the window width (a hub-heavy contracted
+# graph can have Wd8 ~ V8, measured 30 MB scoped-vmem OOM at Wd8=1024).
 VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 MAX_FUSED_VERTICES = 1 << 20  # absolute cap
 
 
+def fused_vmem_bytes(tile: int, wd8: int, v8: int,
+                     itemsize: int = 4) -> int:
+    """Scoped-VMEM estimate of one fused-iteration grid step."""
+    t8 = tile // 128
+    return itemsize * (
+        2 * tile * wd8      # two live [T, Wd8] row selectors
+        + 3 * tile * 128    # lane selectors + lanesel constant
+        + tile * t8         # pack_rows constant
+        + 26 * t8 * 128     # double-buffered edge blocks
+        + 6 * v8 * 128      # resident vertex fields + acc + x out
+        + 6 * wd8 * 128)    # window temporaries (xw, pw, win, dots)
+
+
+def supports_fused_plan(tile: int, wd8: int, v8: int) -> bool:
+    return (v8 * 128 <= MAX_FUSED_VERTICES
+            and fused_vmem_bytes(tile, wd8, v8) <= VMEM_BUDGET_BYTES)
+
+
 def max_fused_vertices(tile: int, itemsize: int = 4) -> int:
-    """Largest padded vertex count whose resident buffers fit VMEM."""
+    """Largest padded vertex count whose resident buffers fit VMEM
+    (window-width-independent part; see :func:`supports_fused_plan`)."""
     left = VMEM_BUDGET_BYTES - 26 * tile * itemsize
     return min(MAX_FUSED_VERTICES, max(left, 0) // (6 * itemsize))
 

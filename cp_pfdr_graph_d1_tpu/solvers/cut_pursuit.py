@@ -35,7 +35,8 @@ from .cut_pursuit_common import (bucket, build_reduced_graph,
                                  component_representatives,
                                  connected_components, host_reduce_dense,
                                  host_reduce_diag, host_reduce_gram,
-                                 machine_eps, pad_reduced_graph)
+                                 machine_eps, make_reduced_container,
+                                 pad_reduced_graph)
 from .pfdr_quadratic import VertexProx, pfdr_quadratic_d1
 
 # dense/Gram operators larger than this stay on device even when the
@@ -456,8 +457,8 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
             rv_cap = bucket(num_comp)
             re_cap = bucket(len(rg.eu))
             reu, rev, rla = pad_reduced_graph(rg, rv_cap, re_cap)
-            rgraph = GraphD1.create(reu, rev, rla, num_vertices=rv_cap,
-                                    dtype=obs_dev.dtype)
+            rgraph = make_reduced_container(reu, rev, rla, rv_cap,
+                                            obs_dev.dtype)
             cv_dev = jnp.asarray(cv)
 
             # -- reduced operator + Lipschitz metric (:663-836) --------------

@@ -104,6 +104,31 @@ def pad_reduced_graph(rg: ReducedGraph, rv_cap: int, re_cap: int):
     return eu, ev, la
 
 
+def make_reduced_container(reu, rev, rla, rv_cap: int, dtype):
+    """Graph container for the reduced PFDR solve.
+
+    The incidence-gather :class:`~..graph.GraphD1` scans [rV, max_deg]
+    per edge->vertex transfer — degenerate when the contracted graph has
+    hub components (one component adjacent to thousands): the table can
+    exceed memory, and even a moderate max degree makes each PFDR
+    iteration scan rV * max_deg entries (measured ~seconds/iteration at
+    rV=131k, enough to time out a single long dispatch on a tunneled
+    chip).  When that scan would exceed a few times the edge count, the
+    degree-agnostic banded container wins.
+    """
+    from ..graph import GraphD1
+    reu = np.asarray(reu)
+    rev = np.asarray(rev)
+    deg = np.bincount(np.concatenate([reu, rev]), minlength=rv_cap)
+    scan = rv_cap * max(int(deg.max(initial=1)), 1)
+    if scan <= max(4 * len(reu), 1 << 16):
+        return GraphD1.create(reu, rev, rla, num_vertices=rv_cap,
+                              dtype=dtype)
+    from ..banded_graph import BandedGraphD1
+    return BandedGraphD1.create(reu, rev, rla, num_vertices=rv_cap,
+                                dtype=dtype)
+
+
 def machine_eps(dtype, dif_tol: float) -> float:
     """Reference epsilon rule (``CP_PFDR_graph_quadratic_d1_l1.cpp:235-252``):
     the machine epsilon, or dif_tol when it is a smaller positive value."""

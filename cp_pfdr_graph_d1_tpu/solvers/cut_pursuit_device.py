@@ -32,6 +32,7 @@ that iteration (with a warning), never silently.
 """
 from __future__ import annotations
 
+import os as _os
 import time as _time
 import warnings
 from functools import partial
@@ -266,6 +267,17 @@ def _evolution(x, x_prev, eps):
     return jnp.where(den > eps, num / den, num / eps)
 
 
+_DEBUG = bool(_os.environ.get("CPDEV_DEBUG"))
+
+
+def _dbg(label, *arrays):
+    """Optional stage-by-stage sync + timestamped trace (CPDEV_DEBUG=1)."""
+    if _DEBUG:
+        for a in arrays:
+            jax.block_until_ready(a)
+        print(f"[cpdev {_time.monotonic():.1f}] {label}", flush=True)
+
+
 def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
                            la_l1=None, positivity: bool = False,
                            bounds=None,
@@ -345,6 +357,7 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
             op, obs_dev, graph, x_full, active, la_l1_dev, lo=lo, hi=hi,
             differentiable=differentiable, has_l1=has_l1,
             positivity=positivity)
+        _dbg("direction_costs", c1, c2)
         chk = min(250, opt.cut_it_max)
         sep, gap1, big1 = _device_cut(graph, active, c1, opt.cut_tol,
                                       opt.cut_it_max, chk)
@@ -360,6 +373,7 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
                           "this cut", UserWarning, stacklevel=2)
             sep = _host_cut_fallback(graph, active, c1, c2 if not
                                      differentiable else None)
+        _dbg("cuts")
         n_new = int(jnp.sum(sep))
         active = active | sep
 
@@ -375,6 +389,7 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
         # -- contraction, on device (:568-661) ------------------------------
         cv, num_comp_dev, firsts = _device_components(graph, active)
         num_comp = int(num_comp_dev)
+        _dbg(f"components rv={num_comp}")
         lo_s, hi_s, w_sorted, flags, re_count = _contract_sort(cv, graph,
                                                                active)
         rv_cap = bucket(num_comp)
@@ -382,11 +397,14 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
         reu, rev, rla = _contract_pad(lo_s, hi_s, w_sorted, flags,
                                       num_comp_dev, eps, dtype, rv_cap,
                                       re_cap)
-        rgraph = GraphD1.create(np.asarray(reu), np.asarray(rev),
-                                np.asarray(rla), num_vertices=rv_cap,
-                                dtype=obs_dev.dtype)
+        from .cut_pursuit_common import make_reduced_container
+        rgraph = make_reduced_container(reu, rev, np.asarray(rla), rv_cap,
+                                        obs_dev.dtype)
+        _dbg(f"contraction re={int(re_count)} container="
+             f"{type(rgraph).__name__}")
         r_la_l1_dev, rx0 = _reduce_vertex_terms(cv, x_full, la_l1_dev,
                                                 firsts, rv_cap)
+        _dbg("vertex_terms", r_la_l1_dev, rx0)
 
         # -- reduced operator + Lipschitz metric (:663-836) ------------------
         # beyond _ONEHOT_MAX components the [V, rV] one-hot contraction is
@@ -422,10 +440,28 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
             r_op = DiagOp(rdiag)
 
         # -- reduced PFDR solve (:842-859) -----------------------------------
-        res = pfdr_quadratic_d1(
-            r_op, ry, rgraph, la_l1=r_la_l1_dev if has_l1 else None,
-            vprox=vprox, lipsch=lipsch, ltype=Lipsch.DIAG, x0=rx0,
-            opt=opt.pfdr)
+        _dbg("reduce", lipsch)
+        # chunked dispatches (resumable PFDRSolveState): a 1e4-iteration
+        # while_loop over a large reduced graph in ONE dispatch can run
+        # for minutes — long enough to trip worker liveness timeouts on a
+        # tunneled chip; chunking bounds each dispatch and costs one RPC
+        # per chunk
+        import dataclasses as _dc
+        chunk = 500
+        pstate = None
+        res = None
+        while True:
+            upto = (min(opt.pfdr.it_max,
+                        (0 if pstate is None else int(pstate.it)) + chunk))
+            res, pstate = pfdr_quadratic_d1(
+                r_op, ry, rgraph, la_l1=r_la_l1_dev if has_l1 else None,
+                vprox=vprox, lipsch=lipsch, ltype=Lipsch.DIAG, x0=rx0,
+                opt=_dc.replace(opt.pfdr, it_max=upto), state0=pstate,
+                return_state=True)
+            done = int(res.it)
+            _dbg(f"pfdr chunk -> it={done}")
+            if done < upto or upto >= opt.pfdr.it_max:
+                break
         pfdr_it_prev = max(int(res.it), 1)
         x_full = res.x[cv]
 

@@ -26,7 +26,7 @@ from ..config import CPOptions
 from ..graph import GraphD1
 from .cut_pursuit_common import (build_reduced_graph, bucket,
                                  connected_components, machine_eps,
-                                 pad_reduced_graph)
+                                 make_reduced_container, pad_reduced_graph)
 from .pfdr_simplex import (d1_objective, loss_objective,
                            pfdr_loss_d1_simplex)
 
@@ -309,8 +309,8 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
         else:
             re_cap = bucket(len(rg.eu))
             reu, rev, rla = pad_reduced_graph(rg, rv_cap, re_cap)
-            rgraph = GraphD1.create(reu, rev, rla, num_vertices=rv_cap,
-                                    dtype=q_dev.dtype)
+            rgraph = make_reduced_container(reu, rev, rla, rv_cap,
+                                            q_dev.dtype)
             res = pfdr_loss_d1_simplex(
                 rgraph, jnp.asarray(rq), al=al,
                 la_f=jnp.asarray(rla_f) if rla_f is not None else None,

@@ -117,6 +117,21 @@ class StencilGraphD1(GraphD1):
             out = out + jnp.roll(vv[k], (dy, dx), axis=(0, 1))
         return out.reshape((self.num_vertices,) + vals_u.shape[1:])
 
+    def edge_to_vertex_min(self, vals_u, vals_v, init):
+        """Roll-based min-reduction twin of :meth:`edge_to_vertex_sum`.
+        Masked edges (including the zero-weight out-of-range slots on
+        non-wrap axes) must carry ``init`` so their wrapped-around roll
+        positions are inert."""
+        f = len(self.shifts)
+        h, w = self.field_shape
+        vu = vals_u.reshape((f, h, w) + vals_u.shape[1:])
+        vv = vals_v.reshape((f, h, w) + vals_v.shape[1:])
+        out = jnp.minimum(jnp.min(vu, axis=0),
+                          jnp.asarray(init, vals_u.dtype))
+        for k, (dy, dx) in enumerate(self.shifts):
+            out = jnp.minimum(out, jnp.roll(vv[k], (dy, dx), axis=(0, 1)))
+        return out.reshape((self.num_vertices,) + vals_u.shape[1:])
+
     # -- fused TPU iteration -------------------------------------------------
 
     @property
