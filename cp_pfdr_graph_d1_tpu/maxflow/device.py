@@ -66,10 +66,10 @@ def _pdhg_min_cut(graph: GraphD1, w, c, tol, it_max: int, check_every: int):
 
     def cut_values(x):
         """Objective of the _THRESHOLDS super-level-set cuts of x."""
-        side = x[None, :] > ts[:, None]                    # [T, V]
-        lin = jnp.sum(jnp.where(side, c[None, :], 0), axis=1)
-        su, sv = side[:, graph.eu], side[:, graph.ev]      # [T, E]
-        bnd = jnp.sum(jnp.where(su != sv, w[None, :], 0), axis=1)
+        side = x[:, None] > ts[None, :]                    # [V, T]
+        lin = jnp.sum(jnp.where(side, c[:, None], 0), axis=0)
+        su, sv = graph.gather_endpoints(side)              # [E, T]
+        bnd = jnp.sum(jnp.where(su != sv, w[:, None], 0), axis=0)
         return lin + bnd
 
     def gap_state(x, z):
@@ -81,7 +81,8 @@ def _pdhg_min_cut(graph: GraphD1, w, c, tol, it_max: int, check_every: int):
 
     def pdhg_chunk(carry, _):
         x, xb, z = carry
-        z = jnp.clip(z + sigma * w * (xb[graph.eu] - xb[graph.ev]), -1, 1)
+        xbu, xbv = graph.gather_endpoints(xb)
+        z = jnp.clip(z + sigma * w * (xbu - xbv), -1, 1)
         ktz = graph.edge_to_vertex_sum(w * z, -(w * z))
         x_new = jnp.clip(x - tau * (ktz + c), 0, 1)
         return (x_new, 2 * x_new - x, z), None

@@ -46,10 +46,11 @@ def connected_components_device(graph: GraphD1, edge_mask,
     sentinel = jnp.asarray(v, jnp.int32)  # > every real label
 
     def propagate(l):
-        lu, lv = l[graph.eu], l[graph.ev]
+        # container-aware transfers: rolls on stencil graphs, incidence
+        # gathers on COO graphs (no per-element gathers in the hot loop)
+        lu, lv = graph.gather_endpoints(l)
         m = jnp.where(edge_mask, jnp.minimum(lu, lv), sentinel)
-        vals = jnp.concatenate([m, m, sentinel[None]])
-        neigh = jnp.min(vals[graph.incidence], axis=1)
+        neigh = graph.edge_to_vertex_min(m, m, v)
         l = jnp.minimum(l, neigh)
         # pointer jumping: follow labels-of-labels until stable this round
         l = jnp.minimum(l, l[l])

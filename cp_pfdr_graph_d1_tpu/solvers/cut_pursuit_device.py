@@ -101,7 +101,7 @@ def _device_cut(graph: GraphD1, active, c, tol, it_max: int,
     side, gap, _ = _pdhg_min_cut(graph, w, c_cl.astype(w.dtype),
                                  (tol * big).astype(w.dtype), it_max,
                                  check_every)
-    su, sv = side[graph.eu], side[graph.ev]
+    su, sv = graph.gather_endpoints(side)
     return (su != sv) & ~active & (graph.la_d1 > 0), gap, big
 
 
@@ -123,8 +123,7 @@ def _contract_sort(cv, graph: GraphD1, active):
     are lexsorted as (lo, hi) int32 columns — no packed-key overflow, any
     component count."""
     sel = active & (graph.la_d1 > 0)
-    cu = cv[graph.eu]
-    cvv = cv[graph.ev]
+    cu, cvv = graph.gather_endpoints(cv)
     lo = jnp.where(sel, jnp.minimum(cu, cvv), _INT_SENTINEL)
     hi = jnp.where(sel, jnp.maximum(cu, cvv), _INT_SENTINEL)
     order = jnp.lexsort((hi, lo))

@@ -8,6 +8,13 @@ problem.  Denoising (identity operator) keeps the problem well-posed at
 this scale so both loops converge to the same piecewise-constant
 minimizer.
 
+The graph is built as a :class:`~cp_pfdr_graph_d1_tpu.stencil
+.StencilGraphD1`: every device stage (PDHG min-cut, connected
+components, contraction keys, merge) is container-aware, so the per-PDHG
+-iteration endpoint transfers run as field rolls instead of per-element
+gathers — the difference between ~14 ms and ~microseconds per inner
+iteration at E=1M.
+
 Run: PYTHONPATH=/root/repo:$PYTHONPATH JAX_PLATFORMS=axon \
      python examples/drive_cp_device_tpu.py
 """
@@ -39,7 +46,8 @@ def main():
     y = (x_true.ravel() + 0.1 * r.standard_normal(v)).astype(np.float32)
     la_d1 = np.full(len(eu), 0.15, np.float32)
     la_l1 = np.full(v, 0.01, np.float32)
-    graph = cp.GraphD1.create(eu, ev, la_d1)
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+    graph = StencilGraphD1.create((h, w), {(0, 1): 0.15, (1, 0): 0.15})
     op = cp.IdentityOp()
     obs = jnp.asarray(y)
     pfdr = cp.PFDROptions(rho=1.5, dif_tol=1e-7, it_max=2000)

@@ -184,3 +184,78 @@ def test_fused_simplex_matches_jnp(al, label_mode, la_f):
     assert int(fused.it) == int(base.it)
     np.testing.assert_allclose(np.asarray(fused.p), np.asarray(base.p),
                                rtol=0, atol=1e-12)
+
+
+def test_edge_to_vertex_min_matches_coo():
+    sg, cg, keep = make_pair(seed=9)
+    v = sg.num_vertices
+    r = np.random.default_rng(10)
+    init = float(v + 7)
+    vals_u = np.where(keep, r.normal(size=sg.num_edges), init)
+    vals_v = np.where(keep, r.normal(size=sg.num_edges), init)
+    out_s = sg.edge_to_vertex_min(jnp.asarray(vals_u), jnp.asarray(vals_v),
+                                  init)
+    out_c = cg.edge_to_vertex_min(jnp.asarray(vals_u[keep]),
+                                  jnp.asarray(vals_v[keep]), init)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_c))
+
+
+def test_components_identical_on_stencil():
+    """Device connected components must be container-independent (stencil
+    rolls vs COO incidence gathers)."""
+    from cp_pfdr_graph_d1_tpu.ops.components import (
+        compact_labels, connected_components_device)
+    sg, cg, keep = make_pair(seed=11, wrap=(False, False))
+    r = np.random.default_rng(12)
+    # random active mask in COO space, mapped into the stencil edge order
+    mask_c = r.random(cg.num_edges) > 0.4
+    mask_s = np.zeros(sg.num_edges, bool)
+    mask_s[keep] = mask_c
+    roots_s = connected_components_device(sg, jnp.asarray(mask_s))
+    roots_c = connected_components_device(cg, jnp.asarray(mask_c))
+    n_s, lab_s = compact_labels(np.asarray(roots_s))
+    n_c, lab_c = compact_labels(np.asarray(roots_c))
+    assert n_s == n_c
+    np.testing.assert_array_equal(lab_s, lab_c)
+
+
+def test_device_cut_on_stencil_matches_value():
+    """PDHG min-cut through the stencil container reaches the same cut
+    value as the host push-relabel solver."""
+    from cp_pfdr_graph_d1_tpu import maxflow
+    from cp_pfdr_graph_d1_tpu.maxflow.device import cut_value, min_cut_device
+    sg, cg, keep = make_pair(seed=13, wrap=(False, False))
+    v = sg.num_vertices
+    r = np.random.default_rng(14)
+    c = r.normal(size=v)
+    w_s = np.asarray(sg.la_d1, np.float64)
+    side_s = min_cut_device(v, None, None, jnp.asarray(w_s), c, graph=sg,
+                            dtype=jnp.float64)
+    eu, ev = np.asarray(sg.eu)[keep], np.asarray(sg.ev)[keep]
+    side_h = maxflow.min_cut(v, eu, ev, w_s[keep], c)
+    val_s = cut_value(eu, ev, w_s[keep], c, side_s)
+    val_h = cut_value(eu, ev, w_s[keep], c, side_h)
+    np.testing.assert_allclose(val_s, val_h, atol=1e-6)
+
+
+def test_device_loop_identical_on_stencil():
+    """cut='device' cut-pursuit must match between the stencil and COO
+    containers (cuts, components, contraction all container-aware)."""
+    import warnings
+    sg, cg, keep = make_pair(seed=15, wrap=(False, False))
+    v = sg.num_vertices
+    r = np.random.default_rng(16)
+    a = r.normal(size=(30, v)) / 5.0
+    x_true = np.zeros((12, 10))
+    x_true[3:8, 2:7] = 1.0
+    y = a @ x_true.ravel() + 0.02 * r.normal(size=30)
+    opt = CPOptions(dif_tol=1e-5, it_max=10, cut="device",
+                    pfdr=PFDROptions(rho=1.5, dif_tol=1e-8, it_max=5000))
+    la_l1 = np.full(v, 0.03)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r_s = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), sg,
+                              la_l1=la_l1, opt=opt)
+        r_c = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), cg,
+                              la_l1=la_l1, opt=opt)
+    np.testing.assert_allclose(r_s.rx[r_s.cv], r_c.rx[r_c.cv], atol=1e-6)
