@@ -260,10 +260,23 @@ def bench_cut_pursuit(oracle):
         vs = t_ref / t_ours
         x_ref = rx[cv]
         x_ours = out.rX[out.Cv]
-        err = (np.max(np.abs(x_ours - x_ref))
-               / max(1e-12, np.max(np.abs(x_ref))))
-        if err > 0.05:
-            print(f"WARNING: cut-pursuit mismatch rel={err:.3g}",
+
+        # parity check on the OBJECTIVE, not pointwise values: cut-pursuit
+        # can settle on different near-optimal partitions (our float32
+        # TPU run has measured a few-% pointwise gap with a *better*
+        # objective than the float64 reference — 0.364247 vs 0.364427 on
+        # this problem); the reference's own quality trace is Obj
+        def objective(x):
+            x = np.asarray(x, np.float64)
+            r = a.astype(np.float64) @ x - y.astype(np.float64)
+            tv = np.sum(la_d1.astype(np.float64) * np.abs(x[eu] - x[ev]))
+            l1 = np.sum(la_l1.astype(np.float64) * np.abs(x))
+            return 0.5 * r @ r + tv + l1
+
+        f_ours, f_ref = objective(x_ours), objective(x_ref)
+        if f_ours > f_ref * (1 + 1e-3):
+            print(f"WARNING: cut-pursuit objective regression "
+                  f"{f_ours:.6g} vs reference {f_ref:.6g}",
                   file=sys.stderr)
     return ("cut-pursuit EEG-scale fused LASSO end-to-end", t_ours * 1000,
             "ms", vs)

@@ -139,6 +139,14 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
     Returns component labels and [rV, K] component distributions
     (full solution ``p = rp[cv]``).
     """
+    if opt.cut == "device" and not device_obs:
+        # fully device-resident iteration: expansion cuts, components,
+        # contraction, merge all on device (the multi-label twin of
+        # cut_pursuit_device); device_obs (mesh-sharded q) keeps the host
+        # loop whose observation stages are GSPMD-distributed instead
+        from .cut_pursuit_simplex_device import cp_loss_d1_simplex_device
+        return cp_loss_d1_simplex_device(graph, q, al=al, opt=opt,
+                                         monitor=monitor, state=state)
     t0 = _time.monotonic()
     eu = np.asarray(graph.eu)
     ev = np.asarray(graph.ev)

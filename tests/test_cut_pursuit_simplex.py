@@ -94,3 +94,57 @@ def test_device_cut_matches_host_simplex():
     ml_base = np.argmax(np.asarray(base.rp)[np.asarray(base.cv)], axis=1)
     ml_dev = np.argmax(np.asarray(res.rp)[np.asarray(res.cv)], axis=1)
     np.testing.assert_array_equal(ml_dev, ml_base)
+
+
+def test_device_loop_solution_matches_host():
+    """The fully device-resident multi-label loop reproduces the host
+    loop's distributions, not just its labeling."""
+    eu, ev, la, q, _ = make_problem(seed=11)
+    graph = GraphD1.create(eu, ev, la, dtype=jnp.float64)
+    pfdr = PFDROptions(rho=1.2, dif_tol=1e-9, it_max=8000)
+    for al in (0.0, 1.0, 0.3):
+        base = cp_loss_d1_simplex(
+            graph, jnp.asarray(q, jnp.float64), al=al,
+            opt=CPOptions(dif_tol=1e-4, it_max=8, pfdr=pfdr, cut="host",
+                          host_small="off"))
+        res = cp_loss_d1_simplex(
+            graph, jnp.asarray(q, jnp.float64), al=al,
+            opt=CPOptions(dif_tol=1e-4, it_max=8, pfdr=pfdr, cut="device"))
+        np.testing.assert_allclose(res.rp[res.cv], base.rp[base.cv],
+                                   atol=1e-6, err_msg=f"al={al}")
+
+
+def test_device_loop_label_mode_and_restart():
+    """Label-count stopping and warm restart on the device loop."""
+    eu, ev, la, q, _ = make_problem(seed=13)
+    graph = GraphD1.create(eu, ev, la, dtype=jnp.float64)
+    pfdr = PFDROptions(dif_tol=1e-7, it_max=4000)
+    full = cp_loss_d1_simplex(
+        graph, jnp.asarray(q, jnp.float64), al=1.0,
+        opt=CPOptions(dif_tol=1.0, it_max=10, pfdr=pfdr, cut="device"))
+    part = cp_loss_d1_simplex(
+        graph, jnp.asarray(q, jnp.float64), al=1.0,
+        opt=CPOptions(dif_tol=1.0, it_max=2, pfdr=pfdr, cut="device"))
+    rest = cp_loss_d1_simplex(
+        graph, jnp.asarray(q, jnp.float64), al=1.0, state=part.state,
+        opt=CPOptions(dif_tol=1.0, it_max=10, pfdr=pfdr, cut="device"))
+    np.testing.assert_array_equal(
+        np.argmax(rest.rp[rest.cv], 1), np.argmax(full.rp[full.cv], 1))
+
+
+def test_device_loop_cut_fallback():
+    """A starved PDHG budget falls back to host expansion cuts and still
+    reaches the host solution."""
+    eu, ev, la, q, _ = make_problem(seed=15)
+    graph = GraphD1.create(eu, ev, la, dtype=jnp.float64)
+    pfdr = PFDROptions(rho=1.2, dif_tol=1e-9, it_max=8000)
+    base = cp_loss_d1_simplex(
+        graph, jnp.asarray(q, jnp.float64), al=1.0,
+        opt=CPOptions(dif_tol=1e-4, it_max=8, pfdr=pfdr, cut="host",
+                      host_small="off"))
+    with pytest.warns(UserWarning, match="falling back"):
+        res = cp_loss_d1_simplex(
+            graph, jnp.asarray(q, jnp.float64), al=1.0,
+            opt=CPOptions(dif_tol=1e-4, it_max=8, pfdr=pfdr, cut="device",
+                          cut_it_max=1))
+    np.testing.assert_allclose(res.rp[res.cv], base.rp[base.cv], atol=1e-6)
