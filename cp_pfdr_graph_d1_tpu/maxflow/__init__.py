@@ -81,7 +81,7 @@ def min_cut(num_vertices: int, eu, ev, w, c) -> np.ndarray:
     if lib is not None:
         lib.cp_steepest_cut(num_vertices, len(eu), eu, ev, w, c, side)
         return side
-    return _min_cut_python(num_vertices, eu, ev, w, c)
+    return _min_cut_python(num_vertices, eu, ev, w, w, c)
 
 
 def min_cut_directed(num_vertices: int, eu, ev, w_uv, w_vu, c) -> np.ndarray:
@@ -99,14 +99,16 @@ def min_cut_directed(num_vertices: int, eu, ev, w_uv, w_vu, c) -> np.ndarray:
         lib.cp_steepest_cut_directed(num_vertices, len(eu), eu, ev,
                                      w_uv, w_vu, c, side)
         return side
-    raise NotImplementedError(
-        "directed min-cut requires the native solver (g++ unavailable)")
+    return _min_cut_python(num_vertices, eu, ev, w_uv, w_vu, c)
 
 
-def _min_cut_python(n, eu, ev, w, c):
-    """Dinic's algorithm fallback (slow; for toolchain-free environments)."""
-    big = 1.0 + float(np.sum(w[np.isfinite(w)])) * 2 + \
-        float(np.sum(np.abs(c[np.isfinite(c)])))
+def _min_cut_python(n, eu, ev, w_uv, w_vu, c):
+    """Dinic's algorithm fallback (slow; for toolchain-free environments).
+    Per-direction arc capacities (``w_uv`` on eu->ev, ``w_vu`` on ev->eu;
+    pass the same array twice for the undirected cut)."""
+    big = 1.0 + (float(np.sum(w_uv[np.isfinite(w_uv)]))
+                 + float(np.sum(w_vu[np.isfinite(w_vu)]))
+                 + float(np.sum(np.abs(c[np.isfinite(c)]))))
     # node 0 = source, 1..n = vertices, n+1 = sink
     graph = [[] for _ in range(n + 2)]
 
@@ -122,10 +124,12 @@ def _min_cut_python(n, eu, ev, w, c):
         elif cv < 0:
             add(s, i + 1, -cv)
     for e in range(len(eu)):
-        we = min(float(w[e]), big)
-        if we > 0:
-            add(eu[e] + 1, ev[e] + 1, we)
-            add(ev[e] + 1, eu[e] + 1, we)
+        wf = min(float(w_uv[e]), big)
+        wb = min(float(w_vu[e]), big)
+        if wf > 0:
+            add(eu[e] + 1, ev[e] + 1, wf)
+        if wb > 0:
+            add(ev[e] + 1, eu[e] + 1, wb)
 
     from collections import deque
 

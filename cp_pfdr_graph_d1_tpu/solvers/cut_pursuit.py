@@ -261,13 +261,15 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
 
     if bounds is not None and (la_l1 is not None or positivity):
         raise ValueError("bounds is exclusive with la_l1/positivity")
-    if opt.cut == "device" and not duplex:
-        # fully device-resident iteration: cuts, components, contraction,
-        # merge all on device; o(E) host traffic per iteration
+    if opt.cut == "device":
+        # fully device-resident iteration: cuts (two-directional or duplex
+        # ternary), components, contraction, merge all on device; o(E)
+        # host traffic per iteration
         from .cut_pursuit_device import cp_quadratic_d1_device
         return cp_quadratic_d1_device(op, obs, graph, la_l1=la_l1,
                                       positivity=positivity, bounds=bounds,
-                                      opt=opt, monitor=monitor, state=state)
+                                      duplex=duplex, opt=opt,
+                                      monitor=monitor, state=state)
     lo, hi = (-np.inf, np.inf) if bounds is None else (
         float(bounds[0]), float(bounds[1]))
     if la_l1 is not None:

@@ -89,6 +89,55 @@ def _direction_costs(op: QuadOp, obs, graph: GraphD1, x, active, la_l1, *,
     return c1, c2
 
 
+@partial(jax.jit, static_argnames=("has_l1", "positivity"))
+def _duplex_costs(op: QuadOp, obs, graph: GraphD1, x, active, la_l1, *,
+                  has_l1: bool, positivity: bool):
+    """Layer costs and inter-layer capacities of the duplex ternary cut
+    (``CP_PFDR_graph_quadratic_d1_l1_duplex.cpp:470-511``), on device:
+    ``up``/``do`` directional derivatives (+-la_l1 at zeros, -inf down
+    under positivity), ``m = max(0, -up, do)``."""
+    dfs = op.grad(x, obs)
+    xu, xv = graph.gather_endpoints(x)
+    s = jnp.sign(xu - xv) * graph.la_d1 * active
+    dfs = dfs + graph.edge_to_vertex_sum(s, -s)
+    if has_l1:
+        dfs = dfs + jnp.sign(x) * la_l1
+    zero = x == 0
+    if has_l1:
+        up = dfs + jnp.where(zero, la_l1, 0.0)
+        do = dfs - jnp.where(zero, la_l1, 0.0)
+    else:
+        up = do = dfs
+    if positivity:
+        do = jnp.where(zero, -jnp.inf, do)
+    m = jnp.maximum(0.0, jnp.maximum(-up, do))
+    return -do + m, -(up + m), m
+
+
+@partial(jax.jit, static_argnames=("it_max", "check_every"))
+def _device_cut_duplex(graph: GraphD1, active, c1, c2, m, tol,
+                       it_max: int, check_every: int):
+    """One duplex ternary cut on the standing graph; returns (separation
+    mask over edges — separated on either layer —, duality gap, scale)."""
+    from ..maxflow.device import _pdhg_min_cut_duplex
+    w = jnp.where(active, 0.0, graph.la_d1)
+
+    def finsum(arr):
+        return jnp.sum(jnp.where(jnp.isfinite(arr), jnp.abs(arr), 0.0))
+
+    big = 1.0 + 2.0 * (2.0 * jnp.sum(w) + finsum(c1) + finsum(c2)
+                       + jnp.sum(m))
+    c1c = jnp.clip(jnp.where(jnp.isfinite(c1), c1, big), -big, big)
+    c2c = jnp.clip(jnp.where(jnp.isfinite(c2), c2, big), -big, big)
+    side, gap, _ = _pdhg_min_cut_duplex(
+        graph, w, c1c.astype(w.dtype), c2c.astype(w.dtype),
+        m.astype(w.dtype), (tol * big).astype(w.dtype), it_max,
+        check_every)
+    su, sv = graph.gather_endpoints(side)              # [E, 2]
+    sep = jnp.any(su != sv, axis=1) & ~active & (graph.la_d1 > 0)
+    return sep, gap, big
+
+
 @partial(jax.jit, static_argnames=("it_max", "check_every"))
 def _device_cut(graph: GraphD1, active, c, tol, it_max: int,
                 check_every: int):
@@ -279,7 +328,7 @@ def _dbg(label, *arrays):
 
 def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
                            la_l1=None, positivity: bool = False,
-                           bounds=None,
+                           bounds=None, duplex: bool = False,
                            opt: CPOptions = CPOptions(),
                            monitor: bool = False,
                            state: CPState | None = None) -> CPResult:
@@ -350,28 +399,45 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
     dif = max(dif_tol2, 1.0)
     num_comp = 1
 
+    use_duplex = duplex and not differentiable and bounds is None
     while it < opt.it_max and dif >= dif_tol2:
-        # -- steepest cut, on device (:337-549) -----------------------------
-        c1, c2 = _direction_costs(
-            op, obs_dev, graph, x_full, active, la_l1_dev, lo=lo, hi=hi,
-            differentiable=differentiable, has_l1=has_l1,
-            positivity=positivity)
-        _dbg("direction_costs", c1, c2)
+        # -- steepest cut, on device (:337-549; duplex :470-545) ------------
         chk = min(250, opt.cut_it_max)
-        sep, gap1, big1 = _device_cut(graph, active, c1, opt.cut_tol,
-                                      opt.cut_it_max, chk)
-        certified = float(gap1) <= opt.cut_tol * float(big1)
-        if not differentiable:
-            sep2, gap2, big2 = _device_cut(graph, active, c2, opt.cut_tol,
-                                           opt.cut_it_max, chk)
-            certified &= float(gap2) <= opt.cut_tol * float(big2)
-            sep = sep | sep2
-        if not certified:
-            # exactness guard: redo this iteration's cuts on host
-            warnings.warn("falling back to the host min-cut solver for "
-                          "this cut", UserWarning, stacklevel=2)
-            sep = _host_cut_fallback(graph, active, c1, c2 if not
-                                     differentiable else None)
+        if use_duplex:
+            d_c1, d_c2, d_m = _duplex_costs(
+                op, obs_dev, graph, x_full, active, la_l1_dev,
+                has_l1=has_l1, positivity=positivity)
+            _dbg("duplex_costs", d_c1, d_c2)
+            sep, gap1, big1 = _device_cut_duplex(
+                graph, active, d_c1, d_c2, d_m, opt.cut_tol,
+                opt.cut_it_max, chk)
+            certified = float(gap1) <= opt.cut_tol * float(big1)
+            if not certified:
+                warnings.warn("falling back to the host min-cut solver "
+                              "for this duplex cut", UserWarning,
+                              stacklevel=2)
+                sep = _host_duplex_fallback(graph, active, d_c1, d_c2, d_m)
+        else:
+            c1, c2 = _direction_costs(
+                op, obs_dev, graph, x_full, active, la_l1_dev, lo=lo,
+                hi=hi, differentiable=differentiable, has_l1=has_l1,
+                positivity=positivity)
+            _dbg("direction_costs", c1, c2)
+            sep, gap1, big1 = _device_cut(graph, active, c1, opt.cut_tol,
+                                          opt.cut_it_max, chk)
+            certified = float(gap1) <= opt.cut_tol * float(big1)
+            if not differentiable:
+                sep2, gap2, big2 = _device_cut(graph, active, c2,
+                                               opt.cut_tol,
+                                               opt.cut_it_max, chk)
+                certified &= float(gap2) <= opt.cut_tol * float(big2)
+                sep = sep | sep2
+            if not certified:
+                # exactness guard: redo this iteration's cuts on host
+                warnings.warn("falling back to the host min-cut solver "
+                              "for this cut", UserWarning, stacklevel=2)
+                sep = _host_cut_fallback(graph, active, c1, c2 if not
+                                         differentiable else None)
         _dbg("cuts")
         n_new = int(jnp.sum(sep))
         active = active | sep
@@ -491,6 +557,34 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
         obj=np.asarray(objs) if monitor else np.zeros(0, dtype),
         dif=np.asarray(difs),
         state=CPState(active=active_host, cv=cv_host, rx=rx_host))
+
+
+def _host_duplex_fallback(graph: GraphD1, active, c1, c2, m):
+    """Host directed min-cut (native push-relabel, or the directed Dinic
+    fallback) for one duplex cut — the 2V-node two-layer construction of
+    :func:`.cut_pursuit._duplex_cut`."""
+    eu = np.asarray(graph.eu)
+    ev = np.asarray(graph.ev)
+    la = np.asarray(graph.la_d1)
+    act = np.asarray(jax.device_get(active))
+    num_v = graph.num_vertices
+    inact = ~act & (la > 0)
+    ieu, iev, ila = eu[inact], ev[inact], la[inact]
+    c1h = np.asarray(jax.device_get(c1), np.float64)
+    c2h = np.asarray(jax.device_get(c2), np.float64)
+    mh = np.asarray(jax.device_get(m), np.float64)
+    rng_v = np.arange(num_v, dtype=np.int32)
+    eeu = np.concatenate([ieu, ieu + num_v, rng_v])
+    eev = np.concatenate([iev, iev + num_v, rng_v + num_v])
+    w_uv = np.concatenate([ila, ila, np.zeros(num_v)])
+    w_vu = np.concatenate([ila, ila, mh])
+    side = maxflow.min_cut_directed(2 * num_v, eeu, eev, w_uv, w_vu,
+                                    np.concatenate([c1h, c2h]))
+    sep_i = (side[ieu] != side[iev]) | (side[ieu + num_v]
+                                        != side[iev + num_v])
+    sep = np.zeros(graph.num_edges, bool)
+    sep[np.nonzero(inact)[0][sep_i]] = True
+    return jnp.asarray(sep)
 
 
 def _host_cut_fallback(graph: GraphD1, active, c1, c2):

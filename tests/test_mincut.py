@@ -66,7 +66,7 @@ def test_python_fallback_agrees():
     w = rng.uniform(0, 1, e)
     c = rng.normal(size=n)
     native = maxflow.min_cut(n, eu, ev, w, c)
-    fallback = maxflow._min_cut_python(n, eu, ev, w, c)
+    fallback = maxflow._min_cut_python(n, eu, ev, w, w, c)
     assert energy(native, eu, ev, w, c) == pytest.approx(
         energy(fallback, eu, ev, w, c), abs=1e-9)
 
@@ -79,7 +79,7 @@ def test_larger_random_graph_against_fallback():
     w = rng.uniform(0, 0.3, e)
     c = rng.normal(size=n)
     native = maxflow.min_cut(n, eu, ev, w, c)
-    fallback = maxflow._min_cut_python(n, eu, ev, w, c)
+    fallback = maxflow._min_cut_python(n, eu, ev, w, w, c)
     assert energy(native, eu, ev, w, c) == pytest.approx(
         energy(fallback, eu, ev, w, c), abs=1e-8)
 
@@ -253,6 +253,131 @@ def test_cut_pursuit_with_device_cut():
         DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
         opt=CPOptions(dif_tol=1e-5, it_max=10, pfdr=pfdr, cut="device"))
 
+    np.testing.assert_allclose(np.asarray(res.rx)[np.asarray(res.cv)],
+                               np.asarray(base.rx)[np.asarray(base.cv)],
+                               atol=1e-6)
+
+
+def test_directed_device_cut_matches_host():
+    """The asymmetric-dual PDHG directed cut reaches the native directed
+    push-relabel's cut value on random directed graphs."""
+    from cp_pfdr_graph_d1_tpu.maxflow.device import min_cut_directed_device
+    import jax.numpy as jnp
+    for seed in range(4):
+        r = np.random.default_rng(seed + 40)
+        n, e = 24, 70
+        eu = r.integers(0, n, e).astype(np.int32)
+        ev = ((eu + 1 + r.integers(0, n - 1, e)) % n).astype(np.int32)
+        w_uv = r.uniform(0.0, 1.0, e)
+        w_vu = r.uniform(0.0, 1.0, e)
+        c = r.normal(size=n)
+        side_d = min_cut_directed_device(n, eu, ev, w_uv, w_vu, c,
+                                         dtype=jnp.float64)
+        side_h = maxflow.min_cut_directed(n, eu, ev, w_uv, w_vu, c)
+
+        def val(side):
+            side = side.astype(bool)
+            v = float(np.sum(c[side]))
+            v += float(np.sum(w_uv[side[eu] & ~side[ev]]))
+            v += float(np.sum(w_vu[side[ev] & ~side[eu]]))
+            return v
+
+        np.testing.assert_allclose(val(side_d), val(side_h), atol=1e-6)
+
+
+def test_directed_python_fallback_agrees():
+    """The directed Dinic fallback (toolchain-free duplex path) equals the
+    native directed solver."""
+    for seed in range(3):
+        r = np.random.default_rng(seed + 50)
+        n, e = 16, 40
+        eu = r.integers(0, n, e).astype(np.int32)
+        ev = ((eu + 1 + r.integers(0, n - 1, e)) % n).astype(np.int32)
+        w_uv = r.uniform(0.0, 1.0, e)
+        w_vu = r.uniform(0.0, 1.0, e)
+        c = r.normal(size=n)
+        side_py = maxflow._min_cut_python(n, eu, ev, w_uv, w_vu, c)
+        side_h = maxflow.min_cut_directed(n, eu, ev, w_uv, w_vu, c)
+
+        def val(side):
+            side = side.astype(bool)
+            v = float(np.sum(c[side]))
+            v += float(np.sum(w_uv[side[eu] & ~side[ev]]))
+            v += float(np.sum(w_vu[side[ev] & ~side[eu]]))
+            return v
+
+        np.testing.assert_allclose(val(side_py), val(side_h), atol=1e-9)
+
+
+def test_duplex_device_loop_matches_host_duplex():
+    """cp_quadratic_d1(duplex=True, cut="device") — the device ternary
+    cut — reaches the host duplex solution."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import CPOptions, DenseOp, GraphD1, \
+        PFDROptions
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+    from .conftest import make_grid_graph
+
+    h = w_ = 8
+    v = h * w_
+    eu, ev, la = make_grid_graph(h, w_, seed=31)
+    r = np.random.default_rng(32)
+    a = r.normal(size=(30, v)) / np.sqrt(30)
+    x_true = np.zeros((h, w_))
+    x_true[1:4, 1:4] = 1.5
+    x_true[5:7, 4:7] = -2.0
+    y = a @ x_true.ravel() + 0.02 * r.normal(size=30)
+    la_l1 = np.full(v, 0.02)
+    graph = GraphD1.create(eu, ev, 0.3 * la, dtype=jnp.float64)
+    pfdr = PFDROptions(rho=1.5, dif_tol=1e-9, it_max=5000)
+
+    for positivity in (False, True):
+        base = cp_quadratic_d1(
+            DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
+            positivity=positivity, duplex=True,
+            opt=CPOptions(dif_tol=1e-5, it_max=10, pfdr=pfdr, cut="host"))
+        res = cp_quadratic_d1(
+            DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
+            positivity=positivity, duplex=True,
+            opt=CPOptions(dif_tol=1e-5, it_max=10, pfdr=pfdr,
+                          cut="device"))
+        np.testing.assert_allclose(
+            np.asarray(res.rx)[np.asarray(res.cv)],
+            np.asarray(base.rx)[np.asarray(base.cv)], atol=1e-6,
+            err_msg=f"positivity={positivity}")
+
+
+def test_duplex_device_cut_fallback():
+    """A starved duplex PDHG budget falls back to the host directed cut."""
+    import jax.numpy as jnp
+    import pytest
+
+    from cp_pfdr_graph_d1_tpu import CPOptions, DenseOp, GraphD1, \
+        PFDROptions
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+    from .conftest import make_grid_graph
+
+    h = w_ = 6
+    v = h * w_
+    eu, ev, la = make_grid_graph(h, w_, seed=33)
+    r = np.random.default_rng(34)
+    a = r.normal(size=(20, v)) / np.sqrt(20)
+    y = a @ r.normal(size=v) * 0.3
+    la_l1 = np.full(v, 0.02)
+    graph = GraphD1.create(eu, ev, 0.3 * la, dtype=jnp.float64)
+    pfdr = PFDROptions(rho=1.5, dif_tol=1e-9, it_max=5000)
+
+    base = cp_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
+        duplex=True,
+        opt=CPOptions(dif_tol=1e-5, it_max=8, pfdr=pfdr, cut="host"))
+    with pytest.warns(UserWarning, match="falling back"):
+        res = cp_quadratic_d1(
+            DenseOp(jnp.asarray(a)), jnp.asarray(y), graph, la_l1=la_l1,
+            duplex=True,
+            opt=CPOptions(dif_tol=1e-5, it_max=8, pfdr=pfdr, cut="device",
+                          cut_it_max=1))
     np.testing.assert_allclose(np.asarray(res.rx)[np.asarray(res.cv)],
                                np.asarray(base.rx)[np.asarray(base.cv)],
                                atol=1e-6)
