@@ -44,7 +44,8 @@ class BandedGraphD1(GraphD1):
 
     @classmethod
     def create(cls, eu, ev, la_d1, num_vertices=None, dtype=jnp.float32,
-               tile: int = 1024, mode: str = "auto") -> "BandedGraphD1":
+               tile: int = 1024, mode: str = "auto",
+               round_wd8: bool = False) -> "BandedGraphD1":
         """Builds the banded container from host edge arrays.
 
         Edges are re-sorted by min endpoint and padded to a tile multiple
@@ -57,6 +58,9 @@ class BandedGraphD1(GraphD1):
             the one-hot lane-selection burns ~E*128 VPU ops); "full" —
             both kernels; "interpret" — Pallas interpreter everywhere
             (tests); "jnp" — no kernels.
+          round_wd8: bucket the window width to a power of two (bounds
+            kernel recompiles when many graphs of varying geometry are
+            solved, e.g. the cut-pursuit reduced problems).
         """
         eu = np.asarray(eu, np.int32)
         ev = np.asarray(ev, np.int32)
@@ -66,7 +70,8 @@ class BandedGraphD1(GraphD1):
         if num_vertices is None:
             num_vertices = int(max(eu.max(initial=-1),
                                    ev.max(initial=-1)) + 1)
-        plan, perm, epad = build_banded_plan(eu, ev, num_vertices, tile)
+        plan, perm, epad = build_banded_plan(eu, ev, num_vertices, tile,
+                                             round_wd8=round_wd8)
         e = len(eu)
         eu_p = np.concatenate([eu[perm], np.full(epad - e, eu[perm][-1],
                                                  np.int32)])

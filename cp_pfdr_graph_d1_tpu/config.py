@@ -85,8 +85,8 @@ class CPOptions:
         via the certified binary-TV relaxation
         (:mod:`..maxflow.device`) — no host round trip of the graph, for
         full graphs that live on device; applies to the quadratic
-        steepest cuts and the multi-label alpha-expansion cuts.  The
-        duplex ternary cut always uses the host solver (directed arcs).
+        steepest cuts, the duplex ternary cut (two-layer PDHG with the
+        coarea certificate), and the multi-label alpha-expansion cuts.
       cut_tol: duality-gap certificate of the device min-cut (relative to
         the problem's cost scale); an uncertified cut triggers a warning
         and a fallback to the host solver.

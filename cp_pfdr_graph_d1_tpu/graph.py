@@ -61,13 +61,27 @@ class GraphD1:
         self.la_d1 = la_d1
         self.num_vertices = int(num_vertices)
         self.num_edges = int(eu.shape[0])
-        if incidence is None:
-            incidence = jnp.asarray(_build_incidence(
-                np.asarray(eu), np.asarray(ev), self.num_vertices))
-        self.incidence = incidence
+        # lazy: the [V, max_degree] incidence table costs an O(E) host sort
+        # + a device upload, and the host-orchestrated cut-pursuit path
+        # never touches it — built on first transfer use (it must exist
+        # before the graph is passed INTO a jit, which the solvers satisfy
+        # by calling a transfer method during tracing)
+        self._incidence = incidence
         # when set, this graph holds one shard of an edge-partitioned graph
         # inside shard_map: edge->vertex reductions psum over this mesh axis
         self.axis_name = axis_name
+
+    @property
+    def incidence(self):
+        if self._incidence is None:
+            self._incidence = jnp.asarray(_build_incidence(
+                np.asarray(self.eu), np.asarray(self.ev),
+                self.num_vertices))
+        return self._incidence
+
+    @incidence.setter
+    def incidence(self, value):
+        self._incidence = value
 
     @classmethod
     def create(cls, eu, ev, la_d1, num_vertices: Optional[int] = None,

@@ -79,12 +79,18 @@ def rcm_order(eu, ev, num_vertices: int):
     return np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
 
 
-def build_banded_plan(eu, ev, num_vertices: int, tile: int = 1024):
+def build_banded_plan(eu, ev, num_vertices: int, tile: int = 1024,
+                      round_wd8: bool = False):
     """Sorts edges by min endpoint, tiles them, and computes windows.
 
     Returns ``(plan, perm, epad)``: the plan, the edge permutation applied
     (callers must reorder per-edge data with it; positions >= len(perm) are
     inert padding), and the padded edge count ``nt * tile``.
+
+    ``round_wd8`` rounds the window width up to a power of two (capped at
+    ``v8``): the cut-pursuit reduced graphs change geometry every outer
+    iteration, and a bucketed ``wd8`` bounds the number of distinct kernel
+    shapes that must compile.
     """
     if tile % 1024:
         raise ValueError("tile must be a multiple of 1024 (the Pallas TPU "
@@ -113,6 +119,11 @@ def build_banded_plan(eu, ev, num_vertices: int, tile: int = 1024):
         starts8[i] = lo // 128
         wd = max(wd, int(hi) + 1 - int(starts8[i]) * 128)
     wd8 = -(-wd // 128)
+    if round_wd8:
+        p2 = 1
+        while p2 < wd8:
+            p2 *= 2
+        wd8 = p2
     wd8 = min(wd8, v8)
     starts8 = np.minimum(starts8, v8 - wd8).clip(0)
 

@@ -84,18 +84,29 @@ class GramApply:
         return self.a.T @ (self.a @ x)
 
 
+def presymmetrize_wins(m: int, n: int,
+                       it_max: int = OPERATOR_NORM_IT_MAX) -> bool:
+    """The reference's pre-symmetrization cost rule
+    (``/root/reference/src/operator_norm_matrix.cpp:116``): True when
+    ``2 M N it > M N P + P^2 it`` with ``P = min(M, N)`` — i.e. when
+    precomputing the smaller Gram matrix (``A A^t`` or ``A^t A``) once and
+    power-iterating on it beats applying ``A`` twice per iteration."""
+    p = min(m, n)
+    return 2 * m * n * it_max > m * n * p + p * p * it_max
+
+
 def dense_operator_norm(a, *, tol: float = OPERATOR_NORM_TOL,
                         it_max: int = OPERATOR_NORM_IT_MAX,
                         nb_init: int = OPERATOR_NORM_NB_INIT, key=None):
-    """``||A||^2`` for a dense [M, N] matrix with the reference's
-    pre-symmetrization cost rule
-    (``/root/reference/src/operator_norm_matrix.cpp:116``): when
-    ``2 M N it > M N P + P^2 it`` with ``P = min(M, N)``, it is cheaper to
-    precompute the smaller Gram matrix (``A A^t`` or ``A^t A``) once and
-    power-iterate on it than to apply ``A`` twice per iteration."""
+    """``||A||^2`` for a dense [M, N] matrix, routing through the smaller
+    precomputed Gram matrix whenever :func:`presymmetrize_wins` says so —
+    the rule of ``/root/reference/src/operator_norm_matrix.cpp:116-168``.
+    Called from every reduced-metric path of the cut-pursuit solvers (the
+    reduced design matrix has N_obs rows and rV columns, so for N_obs <<
+    rV the [N_obs, N_obs] Gram iteration wins decisively)."""
     m, n = a.shape
-    p = min(m, n)
-    if 2 * m * n * it_max > m * n * p + p * p * it_max:
+    if presymmetrize_wins(m, n, it_max):
+        p = min(m, n)
         gram = a @ a.T if m <= n else a.T @ a
         return operator_norm(MatApply(gram), p, a.dtype, tol=tol,
                              it_max=it_max, nb_init=nb_init, key=key)

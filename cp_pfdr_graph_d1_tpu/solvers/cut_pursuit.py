@@ -84,7 +84,7 @@ def _objective(op: QuadOp, obs, x_full, graph: GraphD1, la_l1, la_l1_on):
 def _reduce_dense(a, obs, cv, rv_cap: int, pre_at: bool):
     """Reduced operator, observation and DIAG Lipschitz metric for the dense
     mode (``CP_PFDR_graph_quadratic_d1_l1.cpp:663-836``)."""
-    from ..ops.power_iter import operator_norm
+    from ..ops.power_iter import dense_operator_norm, operator_norm
 
     s = jax.nn.one_hot(cv, rv_cap, dtype=a.dtype)
     ra = a @ s  # [N, rv_cap] — component column sums on the MXU
@@ -101,7 +101,10 @@ def _reduce_dense(a, obs, cv, rv_cap: int, pre_at: bool):
         cn = jnp.sqrt(jnp.sum(ra * ra, axis=0))
         cn_safe = jnp.where(cn > 0, cn, 1)
         eq = ra / cn_safe
-        c = operator_norm(_GramApply(eq), rv_cap, a.dtype)
+        # pre-symmetrization cost rule (operator_norm_matrix.cpp:116): for
+        # N_obs << rV the power method runs on the [N, N] Gram instead of
+        # the two-sided [N, rV] apply
+        c = dense_operator_norm(eq)
         lipsch = cn * cn * c
         return ra, obs, lipsch
 
@@ -256,8 +259,11 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     la_d1 = np.asarray(graph.la_d1)
     num_v = graph.num_vertices
     num_e = graph.num_edges
-    dtype = np.asarray(obs).dtype
-    obs_dev = jnp.asarray(obs)
+    # no np.asarray(obs) here: a process-spanning sharded observation
+    # (multi-host cp_quadratic_d1_dist) cannot be fetched to one host
+    dtype = np.dtype(obs.dtype) if hasattr(obs, "dtype") \
+        else np.asarray(obs).dtype
+    obs_dev = obs if isinstance(obs, jax.Array) else jnp.asarray(obs)
 
     if bounds is not None and (la_l1 is not None or positivity):
         raise ValueError("bounds is exclusive with la_l1/positivity")
@@ -333,6 +339,23 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
             diag_np = np.ones(num_v)
         la_l1_64 = (np.asarray(la_l1, np.float64)
                     if la_l1 is not None else None)
+
+    # -- device fused-solve routing: reduced problems go to the whole-solve
+    # Pallas kernel (ONE dispatch per reduced solve, all state VMEM-
+    # resident, early exit on the evolution test — :mod:`..ops.solve_fused`)
+    # whenever the geometry fits; fused="on" exercises the same route under
+    # the interpreter off-TPU (tests).  Mesh-sharded operators keep the
+    # GSPMD path (cp_dist distributes exactly these stages).
+    op_arr = getattr(op, "a", getattr(op, "gram",
+                                      getattr(op, "diag", None)))
+    op_sharded = (isinstance(op_arr, jax.Array)
+                  and len(op_arr.sharding.device_set) > 1)
+    dev_route = (opt.pfdr.fused != "off" and opt.pfdr.dif_rcd == 0
+                 and opt.pfdr.verbose == 0 and not op_sharded
+                 and ((jax.default_backend() == "tpu"
+                       and dtype == np.float32)
+                      or opt.pfdr.fused == "on"))
+    op_dev = None  # device copy of the operator, uploaded once on first use
 
     # -- initialization: single component, scalar prox solve (:66-175) ------
     if state is None:
@@ -423,7 +446,67 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         host_reduce = (use_host and num_comp <= opt.host_small_max
                        and (a_np is not None or gram_np is not None
                             or diag_np is not None))
-        if host_reduce:
+        dev_ok = False
+        if dev_route:
+            from ..banded_graph import BandedGraphD1
+            from ..ops.solve_fused import supports_fused_solve
+            rv_cap = max(bucket(num_comp), 128)
+            rgraph_b = BandedGraphD1.create(
+                rg.eu, rg.ev, rg.la_d1, num_vertices=rv_cap,
+                dtype=obs_dev.dtype, round_wd8=True)
+            pln = rgraph_b.plan
+            if isinstance(op, DenseOp):
+                n_obs = op.a.shape[0]
+                pre_at = num_comp < (2 * n_obs * pfdr_it_prev) // (
+                    n_obs + pfdr_it_prev)
+                kind = "gram" if pre_at else "dense"
+                n_pad = 128 if pre_at else -(-n_obs // 128) * 128
+            elif isinstance(op, GramOp):
+                kind, n_pad, pre_at = "gram", 128, False
+            else:
+                kind, n_pad, pre_at = "diag", 128, False
+            dev_ok = supports_fused_solve(pln.num_tiles, pln.tile,
+                                          pln.wd8, pln.v8, n_pad, kind)
+        if dev_ok:
+            # -- device pipeline: one-hot reduce + whole-solve kernel -------
+            if op_dev is None:
+                if isinstance(op, DenseOp):
+                    op_dev = jnp.asarray(op.a, obs_dev.dtype)
+                elif isinstance(op, GramOp):
+                    op_dev = jnp.asarray(op.gram, obs_dev.dtype)
+                elif isinstance(op, DiagOp):
+                    op_dev = jnp.asarray(op.diag, obs_dev.dtype)
+                else:
+                    op_dev = jnp.ones((num_v,), obs_dev.dtype)
+            cv_dev = jnp.asarray(cv)
+            if isinstance(op, DenseOp):
+                mat, ry, lipsch = _reduce_dense(op_dev, obs_dev, cv_dev,
+                                                rv_cap, pre_at)
+                r_op = GramOp(mat) if pre_at else DenseOp(mat)
+            elif isinstance(op, GramOp):
+                mat, ry, lipsch = _reduce_gram(op_dev, obs_dev, cv_dev,
+                                               rv_cap)
+                r_op = GramOp(mat)
+            else:
+                rdiag, ry, lipsch = _reduce_diag(op_dev, obs_dev, cv_dev,
+                                                 rv_cap)
+                r_op = DiagOp(rdiag)
+            if la_l1 is not None:
+                r_la_l1 = np.zeros(rv_cap, dtype)
+                np.add.at(r_la_l1, cv, la_l1)
+                r_la_l1 = jnp.asarray(r_la_l1)
+            else:
+                r_la_l1 = None
+            x0_pad = np.zeros(rv_cap, dtype)
+            x0_pad[:num_comp] = rx0
+            res = pfdr_quadratic_d1(
+                r_op, ry, rgraph_b, la_l1=r_la_l1, vprox=vprox,
+                lipsch=lipsch, ltype=Lipsch.DIAG,
+                x0=jnp.asarray(x0_pad), opt=opt.pfdr)
+            rx_d, it_d = jax.device_get((res.x, res.it))
+            pfdr_it_prev = max(int(it_d), 1)
+            rx = np.asarray(rx_d, dtype)[:num_comp]
+        elif host_reduce:
             # -- host pipeline: numpy reduce + native C++ PFDR ---------------
             if a_np is not None:
                 n_obs = a_np.shape[0]

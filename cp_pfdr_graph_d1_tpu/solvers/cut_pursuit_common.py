@@ -180,7 +180,19 @@ def host_reduce_dense(a_t, y_np, cv, num_comp: int, pre_at: bool):
     cn = np.sqrt(np.sum(ra * ra, axis=0))
     cn_safe = np.where(cn > 0, cn, 1.0)
     eq = ra / cn_safe
-    c = host_operator_norm(lambda x: eq.T @ (eq @ x), num_comp)
+    # pre-symmetrization cost rule (operator_norm_matrix.cpp:116): iterate
+    # the smaller precomputed Gram when it beats the two-sided apply
+    from ..ops.power_iter import presymmetrize_wins
+    m, n = eq.shape
+    if presymmetrize_wins(m, n):
+        if m <= n:
+            gram = eq @ eq.T
+            c = host_operator_norm(lambda x: gram @ x, m)
+        else:
+            gram = eq.T @ eq
+            c = host_operator_norm(lambda x: gram @ x, n)
+    else:
+        c = host_operator_norm(lambda x: eq.T @ (eq @ x), num_comp)
     return ra.shape[0], ra, y_np, cn * cn * c
 
 

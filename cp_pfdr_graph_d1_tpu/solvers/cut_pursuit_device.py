@@ -253,7 +253,7 @@ def _segment_reduce_dense(a, obs, cv, rv_cap: int, pre_at: bool):
     (``CP_PFDR_graph_quadratic_d1_l1.cpp:663-836`` at scale).  ``pre_at``
     must be False (the [rV, rV] Gram would not fit anyway; the reference's
     premultiplication rule never selects it at rV >> N)."""
-    from ..ops.power_iter import operator_norm
+    from ..ops.power_iter import dense_operator_norm
 
     del pre_at  # always the direct (non-premultiplied) branch
     v = cv.shape[0]
@@ -267,7 +267,9 @@ def _segment_reduce_dense(a, obs, cv, rv_cap: int, pre_at: bool):
     cn = jnp.sqrt(jnp.sum(ra * ra, axis=0))
     cn_safe = jnp.where(cn > 0, cn, 1)
     eq = ra / cn_safe
-    c = operator_norm(_GramApplyLocal(eq), rv_cap, a.dtype)
+    # cost rule (operator_norm_matrix.cpp:116): at rV >> N this always
+    # routes to the [N, N] Gram iteration
+    c = dense_operator_norm(eq)
     return ra, obs, cn * cn * c
 
 
@@ -286,14 +288,6 @@ def _segment_reduce_diag(diag, obs, cv, rv_cap: int):
 
     rdiag = runsum(diag)
     return rdiag, runsum(obs), rdiag
-
-
-class _GramApplyLocal:
-    def __init__(self, a):
-        self.a = a
-
-    def __call__(self, x):
-        return self.a.T @ (self.a @ x)
 
 
 @jax.jit
@@ -462,9 +456,33 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
         reu, rev, rla = _contract_pad(lo_s, hi_s, w_sorted, flags,
                                       num_comp_dev, eps, dtype, rv_cap,
                                       re_cap)
-        from .cut_pursuit_common import make_reduced_container
-        rgraph = make_reduced_container(reu, rev, np.asarray(rla), rv_cap,
-                                        obs_dev.dtype)
+        rgraph = None
+        use_whole_solve = False
+        if (jax.default_backend() == "tpu" and dtype == np.float32
+                and rv_cap >= 128 and opt.pfdr.dif_rcd == 0
+                and opt.pfdr.verbose == 0 and opt.pfdr.fused != "off"):
+            # banded container -> pfdr_quadratic_d1 dispatches the WHOLE
+            # reduced solve to the one-kernel Pallas loop; the O(rE) host
+            # arrays it needs match what make_reduced_container already
+            # downloads
+            from ..banded_graph import BandedGraphD1
+            from ..ops.solve_fused import supports_fused_solve
+            bg = BandedGraphD1.create(
+                np.asarray(reu), np.asarray(rev), np.asarray(rla),
+                num_vertices=rv_cap, dtype=obs_dev.dtype, round_wd8=True)
+            n_obs_k = op.a.shape[0] if isinstance(op, DenseOp) else 0
+            kind = ("dense" if isinstance(op, DenseOp) else "gram"
+                    if isinstance(op, GramOp) else "diag")
+            n_pad = (-(-n_obs_k // 128) * 128 if kind == "dense" else 128)
+            pln = bg.plan
+            if supports_fused_solve(pln.num_tiles, pln.tile, pln.wd8,
+                                    pln.v8, n_pad, kind):
+                rgraph = bg
+                use_whole_solve = True
+        if rgraph is None:
+            from .cut_pursuit_common import make_reduced_container
+            rgraph = make_reduced_container(reu, rev, np.asarray(rla),
+                                            rv_cap, obs_dev.dtype)
         _dbg(f"contraction re={int(re_count)} container="
              f"{type(rgraph).__name__}")
         r_la_l1_dev, rx0 = _reduce_vertex_terms(cv, x_full, la_l1_dev,
@@ -512,21 +530,32 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
         # tunneled chip; chunking bounds each dispatch and costs one RPC
         # per chunk
         import dataclasses as _dc
-        chunk = 500
-        pstate = None
-        res = None
-        while True:
-            upto = (min(opt.pfdr.it_max,
-                        (0 if pstate is None else int(pstate.it)) + chunk))
-            res, pstate = pfdr_quadratic_d1(
+        if use_whole_solve:
+            # the whole-solve Pallas kernel runs ~10k iterations in tens
+            # of milliseconds — no liveness-timeout risk, no chunking
+            res = pfdr_quadratic_d1(
                 r_op, ry, rgraph, la_l1=r_la_l1_dev if has_l1 else None,
                 vprox=vprox, lipsch=lipsch, ltype=Lipsch.DIAG, x0=rx0,
-                opt=_dc.replace(opt.pfdr, it_max=upto), state0=pstate,
-                return_state=True)
-            done = int(res.it)
-            _dbg(f"pfdr chunk -> it={done}")
-            if done < upto or upto >= opt.pfdr.it_max:
-                break
+                opt=opt.pfdr)
+            _dbg(f"pfdr whole-solve -> it={int(res.it)}")
+        else:
+            chunk = 500
+            pstate = None
+            res = None
+            while True:
+                upto = (min(opt.pfdr.it_max,
+                            (0 if pstate is None else int(pstate.it))
+                            + chunk))
+                res, pstate = pfdr_quadratic_d1(
+                    r_op, ry, rgraph,
+                    la_l1=r_la_l1_dev if has_l1 else None,
+                    vprox=vprox, lipsch=lipsch, ltype=Lipsch.DIAG, x0=rx0,
+                    opt=_dc.replace(opt.pfdr, it_max=upto), state0=pstate,
+                    return_state=True)
+                done = int(res.it)
+                _dbg(f"pfdr chunk -> it={done}")
+                if done < upto or upto >= opt.pfdr.it_max:
+                    break
         pfdr_it_prev = max(int(res.it), 1)
         x_full = res.x[cv]
 

@@ -237,8 +237,16 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
         if device_obs:
             p_pad = (np.concatenate([p_full, np.full((v_pad, k), 1.0 / k)])
                      if v_pad else p_full)
-            dfs = np.array(jax.device_get(_loss_grad_device(
-                q_dev, jnp.asarray(p_pad), float(al))))[:num_v]
+            g_dev = _loss_grad_device(q_dev, jnp.asarray(p_pad), float(al))
+            if jax.process_count() > 1 and not (
+                    getattr(g_dev, "is_fully_replicated", True)):
+                # multi-host: the gradient inherits the observation's
+                # vertex sharding — gather it to every replicated host
+                from jax.experimental import multihost_utils
+                dfs = np.asarray(multihost_utils.process_allgather(
+                    g_dev, tiled=True))[:num_v]
+            else:
+                dfs = np.array(jax.device_get(g_dev))[:num_v]
         else:
             dfs = _loss_grad_np(al, p_full, q)
         ae = np.nonzero(active)[0]

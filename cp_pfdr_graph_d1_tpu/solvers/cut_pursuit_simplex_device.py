@@ -209,20 +209,31 @@ def cp_loss_d1_simplex_device(graph: GraphD1, q, *, al: float,
         _dbg("simplex direction", dfs)
 
         # -- K-1 alpha-expansion cuts (:522-606) ----------------------------
+        # the cuts are sequential (cut n's capacities depend on the labels
+        # cut n-1 assigned) but their CERTIFICATES are not: the gaps stack
+        # on device and sync in ONE host round trip after the sequence,
+        # instead of K-1 blocking float() syncs
         rdi = jnp.argmax(rp_dev, axis=1).astype(jnp.int32)
         i_of_v = rdi[cv]
         djv = jnp.zeros((num_v,), jnp.int32)
+        gaps = []
         for n in range(1, k):
             w, theta = _expansion_capacities(graph, dfs, i_of_v, djv,
                                              active, n)
             side, gap, big = _device_side(graph, w, theta, opt.cut_tol,
                                           opt.cut_it_max, chk)
-            if float(gap) > opt.cut_tol * float(big):
-                warnings.warn("falling back to the host min-cut solver "
-                              f"for expansion cut {n}", UserWarning,
-                              stacklevel=2)
-                side = _host_side_fallback(graph, w, theta)
+            gaps.append(jnp.stack([gap, big]))
             djv = jnp.where(side, jnp.int32(n), djv)
+        certs = np.asarray(jax.device_get(jnp.stack(gaps)))
+        if np.any(certs[:, 0] > opt.cut_tol * certs[:, 1]):
+            # exactness guard: redo the WHOLE expansion sequence on host
+            # (later cuts consumed the uncertified labels)
+            bad = np.nonzero(certs[:, 0] > opt.cut_tol * certs[:, 1])[0]
+            warnings.warn("falling back to the host min-cut solver for "
+                          f"expansion cuts (uncertified: {bad + 1})",
+                          UserWarning, stacklevel=2)
+            djv = _host_expansion_fallback(graph, dfs, rdi, cv, active,
+                                           eps)
         du, dv = graph.gather_endpoints(djv)
         sep = ~active & (graph.la_d1 > 0) & (du != dv)
         n_new = int(jnp.sum(sep))
@@ -258,9 +269,24 @@ def cp_loss_d1_simplex_device(graph: GraphD1, q, *, al: float,
                                           float(al), rv_cap)
 
         # -- reduced PFDR solve (:773-780) -----------------------------------
-        res = pfdr_loss_d1_simplex(
-            rgraph, rq, al=al, la_f=None if al == 0.0 else rla_f,
-            p0=rp0, opt=opt.pfdr)
+        # chunked dispatches through the resumable SimplexSolveState: a
+        # 1e4-iteration while_loop on a large reduced graph in ONE dispatch
+        # can run long enough to trip worker liveness timeouts on a
+        # tunneled chip (same rationale as the quadratic loop's chunking)
+        import dataclasses as _dc
+        chunk = 500
+        pstate = None
+        res = None
+        while True:
+            upto = min(opt.pfdr.it_max,
+                       (0 if pstate is None else int(pstate.it)) + chunk)
+            res, pstate = pfdr_loss_d1_simplex(
+                rgraph, rq, al=al, la_f=None if al == 0.0 else rla_f,
+                p0=rp0, opt=_dc.replace(opt.pfdr, it_max=upto),
+                state0=pstate, return_state=True)
+            done = int(res.it)
+            if done < upto or upto >= opt.pfdr.it_max:
+                break
         rp_dev = res.p
         p_full = rp_dev[cv]
         _dbg(f"reduced pfdr it={int(res.it)}")
@@ -294,12 +320,18 @@ def cp_loss_d1_simplex_device(graph: GraphD1, q, *, al: float,
         state=CPSimplexState(active=active_host, cv=cv_host, rp=rp_host))
 
 
-def _host_side_fallback(graph: GraphD1, w, c):
-    """Host push-relabel for one expansion cut (certificate failure)."""
-    w = np.asarray(jax.device_get(w), np.float64)
-    c = np.asarray(jax.device_get(c), np.float64)
-    live = w > 0
-    eu = np.asarray(graph.eu)[live]
-    ev = np.asarray(graph.ev)[live]
-    side = maxflow.min_cut(graph.num_vertices, eu, ev, w[live], c)
-    return jnp.asarray(side.astype(bool))
+def _host_expansion_fallback(graph: GraphD1, dfs, rdi, cv, active, eps):
+    """Host push-relabel rerun of the FULL K-1 expansion sequence
+    (certificate failure: later cuts consumed uncertified labels, so the
+    whole sequence is redone with the host twin
+    :func:`.cut_pursuit_simplex._alpha_expansion_cuts`)."""
+    from .cut_pursuit_simplex import _alpha_expansion_cuts
+    djv = _alpha_expansion_cuts(
+        np.asarray(jax.device_get(dfs), np.float64),
+        np.asarray(jax.device_get(rdi)),
+        np.asarray(jax.device_get(cv)),
+        np.asarray(graph.eu), np.asarray(graph.ev),
+        np.asarray(graph.la_d1, np.float64),
+        np.asarray(jax.device_get(active)), float(eps),
+        min_cut_fn=maxflow.min_cut)
+    return jnp.asarray(djv.astype(np.int32))

@@ -222,6 +222,91 @@ def _grad_and_obj(op: QuadOp, x, obs):
     return op.grad(x, obs), op.quad_obj(x, obs)
 
 
+def _whole_solve_kind(op: QuadOp, graph) -> str | None:
+    """Operator kind for the whole-solve Pallas kernel
+    (:mod:`..ops.solve_fused`), or None when unsupported."""
+    from ..banded_graph import BandedGraphD1
+    from ..operators import DenseOp, DiagOp, GramOp, IdentityOp
+    if not isinstance(graph, BandedGraphD1) or graph.axis_name is not None:
+        return None
+    if isinstance(op, DenseOp):
+        return "dense"
+    if isinstance(op, GramOp):
+        return "gram"
+    if isinstance(op, (DiagOp, IdentityOp)):
+        return "diag"
+    return None
+
+
+def _whole_solve(op: QuadOp, obs, graph, vprox: VertexProx,
+                 pre: Precond, x0, opt: PFDROptions, interpret: bool,
+                 op_kind: str):
+    """Dispatches the complete solve to the one-kernel Pallas loop
+    (:func:`..ops.solve_fused.fused_pfdr_solve`); same update math as the
+    staged loop below."""
+    from ..operators import DenseOp, GramOp, IdentityOp
+    from ..ops.banded import _to_dense_v
+    from ..ops.solve_fused import fused_pfdr_solve
+
+    p = graph.plan
+    t8 = p.tile // 128
+    v8 = p.v8
+    vv = v8 * 128
+    nv = graph.num_vertices
+    dt = obs.dtype
+    eshape = (p.num_tiles * t8, 128)
+
+    def vfield(a):
+        return _to_dense_v(jnp.broadcast_to(a, (nv,)).astype(dt), v8)
+
+    def pad_cols(m):
+        return m if m.shape[1] == vv else jnp.pad(
+            m, ((0, 0), (0, vv - m.shape[1])))
+
+    if op_kind == "dense":
+        n = op.a.shape[0]
+        np_pad = -(-n // 128) * 128
+        a_pad = pad_cols(jnp.pad(op.a, ((0, np_pad - n), (0, 0))))
+        op_a = a_pad.T
+        op_b = a_pad
+        aty = vfield(op.apply_t(obs))
+    elif op_kind == "gram":
+        np_pad = 128
+        g = pad_cols(op.gram)
+        op_a = jnp.pad(g, ((0, vv - g.shape[0]), (0, 0)))
+        op_b = jnp.zeros((8, 128), dt)
+        aty = vfield(obs)
+    else:
+        np_pad = 128
+        diag = (jnp.ones((nv,), dt) if isinstance(op, IdentityOp)
+                else op.diag)
+        op_a = vfield(diag)
+        op_b = jnp.zeros((8, 128), dt)
+        aty = vfield(obs)
+
+    zu0, zv0 = graph.gather_endpoints(x0)
+
+    def efield(a):
+        return a.reshape(eshape)
+
+    eps_mach = float(jnp.finfo(dt).eps)
+    eps = opt.dif_tol if (0 < opt.dif_tol < eps_mach) else eps_mach
+    xn, zun, zvn, it, dif = fused_pfdr_solve(
+        p.starts8, p.lur, p.lul, p.lvr, p.lvl,
+        efield(zu0), efield(zv0), efield(pre.wu), efield(pre.wv),
+        efield(pre.w_d1u), efield(pre.w_d1v), efield(pre.th_d1),
+        vfield(x0), vfield(pre.ga), vfield(pre.th_l1), aty, op_a, op_b,
+        nt=p.num_tiles, tile=p.tile, wd8=p.wd8, v8=v8, np_pad=np_pad,
+        op_kind=op_kind, rho=float(opt.rho), vkind=vprox.kind,
+        positivity=vprox.positivity, lo=float(vprox.lo),
+        hi=float(vprox.hi), it_max=int(opt.it_max),
+        dif_tol2=float(opt.dif_tol) ** 2, eps=eps, rv=nv,
+        interpret=interpret)
+    x = xn.reshape(-1)[:nv]
+    e = graph.num_edges
+    return x, zun.reshape(-1)[:e], zvn.reshape(-1)[:e], it, dif
+
+
 def _full_obj(op: QuadOp, x, obs, graph: GraphD1, la_l1, vprox: VertexProx):
     """Objective: quadratic + d1 + (l1) terms
     (``PFDR_graph_quadratic_d1_l1.cpp:388-422``; the reference's stale-index
@@ -264,7 +349,12 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
 
     Returns:
       :class:`PFDRResult` with the solution, iteration count and traces
-      (plus the final solve state when ``return_state``).
+      (plus the final solve state when ``return_state``).  Trace contract:
+      ``obj`` and ``dif`` are fixed-capacity device arrays of length
+      ``it_max + 1`` / ``it_max`` (XLA requires static shapes inside the
+      loop); only ``obj[:it + 1]`` and ``dif[:it]`` are meaningful —
+      slice before use, as :mod:`..api` does.  When ``monitor=False``
+      they are all-zero placeholders.
     """
     vcount = graph.num_vertices
     dtype = obs.dtype
@@ -287,6 +377,44 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     else:
         pre = initial_precondition(op, obs, graph, la_l1, opt.rho, lipsch,
                                    ltype)
+
+        # whole-solve Pallas loop (banded graphs; no reconditioning /
+        # monitor / verbose / resume): the ENTIRE iteration loop runs
+        # inside one kernel with all state VMEM-resident — zero dispatch
+        # and op-launch overhead per iteration (:mod:`..ops.solve_fused`)
+        if (opt.fused != "off" and opt.dif_rcd == 0 and not monitor
+                and opt.verbose == 0):
+            whole_kind = _whole_solve_kind(op, graph)
+            if whole_kind is not None:
+                from ..ops.solve_fused import supports_fused_solve
+                p = graph.plan
+                np_pad = (-(-op.a.shape[0] // 128) * 128
+                          if whole_kind == "dense" else 128)
+                if not supports_fused_solve(p.num_tiles, p.tile, p.wd8,
+                                            p.v8, np_pad, whole_kind):
+                    whole_kind = None
+            if whole_kind is not None:
+                on_tpu = jax.default_backend() == "tpu"
+                if opt.fused == "on":
+                    interp = not on_tpu
+                elif on_tpu and dtype == jnp.float32:
+                    interp = False
+                else:
+                    whole_kind = None
+                    interp = False
+            if whole_kind is not None:
+                x, zu, zv, it, dif = _whole_solve(
+                    op, obs, graph, vprox, pre, x0, opt, interp,
+                    whole_kind)
+                res = PFDRResult(x=x, it=it, obj=jnp.zeros((1,), dtype),
+                                 dif=jnp.zeros((1,), dtype))
+                if return_state:
+                    return res, PFDRSolveState(
+                        x=x, zu=zu, zv=zv, pre=pre, x_prev=x, dif=dif,
+                        dif_rcd2=jnp.asarray(0.0, dtype),
+                        it=it.astype(jnp.int32))
+                return res
+
         zu, zv = graph.gather_endpoints(x0)
 
     # fused Pallas iteration (stencil graphs): one kernel for the edge +

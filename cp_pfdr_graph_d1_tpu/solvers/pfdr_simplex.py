@@ -64,6 +64,24 @@ class SimplexResult(NamedTuple):
     dif: jax.Array
 
 
+class SimplexSolveState(NamedTuple):
+    """Complete loop-carried inner-solver state of the multi-label PFDR —
+    the simplex twin of :class:`.pfdr_quadratic.PFDRSolveState` (the
+    reference's ``CPls_Restart`` persists only outer-loop data,
+    ``include/CP_PFDR_graph_loss_d1_simplex.hpp:26-48``).  Obtain with
+    ``pfdr_loss_d1_simplex(..., return_state=True)``, persist with
+    :func:`..utils.checkpoint.save_state`, resume via ``state0=`` (same
+    graph container, observations, options and dtype)."""
+    p: jax.Array
+    zu: jax.Array
+    zv: jax.Array
+    pre: SimplexPrecond
+    prev: jax.Array
+    dif: jax.Array
+    dif_rcd: jax.Array
+    it: jax.Array
+
+
 def _safe_div(num, den, fill=0.0):
     ok = den != 0
     return jnp.where(ok, num / jnp.where(ok, den, 1), fill)
@@ -264,21 +282,28 @@ def _simplex_fused_loop(graph, q, p0, la_f, pre, *, al, opt, has_laf,
                          dif=jnp.zeros((1,), dtype))
 
 
-@partial(jax.jit, static_argnames=("al", "opt", "monitor", "has_laf"))
+@partial(jax.jit, static_argnames=("al", "opt", "monitor", "has_laf",
+                                   "return_state"))
 def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
-                       opt: PFDROptions, monitor: bool, has_laf: bool):
+                       opt: PFDROptions, monitor: bool, has_laf: bool,
+                       state0: SimplexSolveState | None = None,
+                       return_state: bool = False):
     dtype = q.dtype
     laf = la_f if has_laf else None
     label_mode = opt.dif_tol >= 1.0
 
-    pre = initial_precondition_simplex(al, laf, graph, q, p0, opt.rho)
+    if state0 is not None:
+        pre = state0.pre
+        p0 = state0.p
+    else:
+        pre = initial_precondition_simplex(al, laf, graph, q, p0, opt.rho)
 
     # whole-iteration fused Pallas loop (stencil graphs, no recondition /
-    # monitor / verbose — those run the staged path, which computes the
-    # same update): ~30 XLA dispatches per iteration collapse into one
-    # kernel
+    # monitor / verbose / resume — those run the staged path, which
+    # computes the same update): ~30 XLA dispatches per iteration collapse
+    # into one kernel
     if (opt.fused != "off" and opt.dif_rcd == 0 and not monitor
-            and opt.verbose == 0
+            and opt.verbose == 0 and state0 is None and not return_state
             and getattr(graph, "supports_fused", False)):
         if opt.fused == "on":
             return _simplex_fused_loop(
@@ -290,20 +315,27 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
                 graph, q, p0, la_f, pre, al=al, opt=opt, has_laf=has_laf,
                 label_mode=label_mode, interpret=False)
 
-    zu, zv = graph.gather_endpoints(p0)
     rho = jnp.asarray(opt.rho, dtype)
     vcount = graph.vertex_count_global()
 
-    if label_mode:
-        prev = _ml_labels(p0).astype(dtype)[:, None]
+    if state0 is not None:
+        zu, zv = state0.zu, state0.zv
+        prev = state0.prev
     else:
-        prev = p0
+        zu, zv = graph.gather_endpoints(p0)
+        if label_mode:
+            prev = _ml_labels(p0).astype(dtype)[:, None]
+        else:
+            prev = p0
     n_trace = opt.it_max + 1 if monitor else 1
     state = SimplexState(
         p=p0, zu=zu, zv=zv, pre=pre, prev=prev,
-        dif=jnp.asarray(max(opt.dif_tol, opt.dif_rcd), dtype),
-        dif_rcd=jnp.asarray(opt.dif_rcd, dtype),
-        it=jnp.asarray(0, jnp.int32),
+        dif=(state0.dif if state0 is not None
+             else jnp.asarray(max(opt.dif_tol, opt.dif_rcd), dtype)),
+        dif_rcd=(state0.dif_rcd if state0 is not None
+                 else jnp.asarray(opt.dif_rcd, dtype)),
+        it=(state0.it if state0 is not None
+            else jnp.asarray(0, jnp.int32)),
         obj_trace=jnp.zeros((n_trace,), dtype),
         dif_trace=jnp.zeros((n_trace,), dtype),
     )
@@ -382,12 +414,19 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
         obj_trace = obj_trace.at[s.it].set(
             graph.vertex_allsum(loss_pervertex(al, s.p, q, laf))
             + d1_objective(graph, s.p))
-    return SimplexResult(p=s.p, it=s.it, obj=obj_trace, dif=s.dif_trace)
+    res = SimplexResult(p=s.p, it=s.it, obj=obj_trace, dif=s.dif_trace)
+    if return_state:
+        return res, SimplexSolveState(p=s.p, zu=s.zu, zv=s.zv, pre=s.pre,
+                                      prev=s.prev, dif=s.dif,
+                                      dif_rcd=s.dif_rcd, it=s.it)
+    return res
 
 
 def pfdr_loss_d1_simplex(graph: GraphD1, q, *, al: float, la_f=None,
                          p0=None, opt: PFDROptions = PFDROptions(),
-                         monitor: bool = False) -> SimplexResult:
+                         monitor: bool = False,
+                         state0: SimplexSolveState | None = None,
+                         return_state: bool = False) -> SimplexResult:
     """Runs the multi-label PFDR iteration.
 
     Args:
@@ -397,6 +436,10 @@ def pfdr_loss_d1_simplex(graph: GraphD1, q, *, al: float, la_f=None,
       al: loss selector — 0 linear, 1 quadratic, in ]0,1[ smoothed-KL.
       la_f: optional [V] per-vertex loss weights (quadratic/KL losses).
       p0: initial point (defaults to the uniform distribution).
+      state0: optional :class:`SimplexSolveState` from an earlier
+        ``return_state=True`` call — resumes the loop exactly where it
+        stopped (same graph/observations/options); ``p0`` is ignored.
+      return_state: when True, returns ``(result, SimplexSolveState)``.
     """
     q = jnp.asarray(q)
     if p0 is None:
@@ -407,4 +450,5 @@ def pfdr_loss_d1_simplex(graph: GraphD1, q, *, al: float, la_f=None,
     else:
         la_f = jnp.zeros((q.shape[0],), q.dtype)  # placeholder, unused
     return _pfdr_simplex_impl(graph, q, p0, la_f, al=float(al), opt=opt,
-                              monitor=monitor, has_laf=has_laf)
+                              monitor=monitor, has_laf=has_laf,
+                              state0=state0, return_state=return_state)

@@ -25,9 +25,10 @@ import numpy as np
 from ..solvers.cut_pursuit import CPState
 from ..solvers.cut_pursuit_simplex import CPSimplexState
 from ..solvers.pfdr_quadratic import PFDRSolveState, Precond
+from ..solvers.pfdr_simplex import SimplexPrecond, SimplexSolveState
 
 _KIND = {"quadratic": CPState, "simplex": CPSimplexState,
-         "pfdr": PFDRSolveState}
+         "pfdr": PFDRSolveState, "pfdr_simplex": SimplexSolveState}
 
 
 def _flatten(state, prefix=""):
@@ -58,9 +59,10 @@ def load_state(path):
         cls = _KIND.get(kind)
         if cls is None:
             raise ValueError(f"unknown state kind {kind!r}")
-        if cls is PFDRSolveState:
-            pre = Precond(**{f: data[f"pre.{f}"] for f in Precond._fields})
-            rest = {f: data[f] for f in PFDRSolveState._fields
-                    if f != "pre"}
-            return PFDRSolveState(pre=pre, **rest)
+        if cls is PFDRSolveState or cls is SimplexSolveState:
+            pre_cls = Precond if cls is PFDRSolveState else SimplexPrecond
+            pre = pre_cls(**{f: data[f"pre.{f}"]
+                             for f in pre_cls._fields})
+            rest = {f: data[f] for f in cls._fields if f != "pre"}
+            return cls(pre=pre, **rest)
         return cls(**{f: data[f] for f in cls._fields})

@@ -92,6 +92,54 @@ def main():
           flush=True)
     assert err_dp <= tol, f"dp mismatch {err_dp}"
     assert err_halo <= tol, f"halo mismatch {err_halo}"
+
+    # -- distributed cut-pursuit (outer loop) across processes -------------
+    # (BASELINE.json config 5): the host-replicated bookkeeping (cuts,
+    # components, merges) must agree bit-identically ACROSS PROCESSES —
+    # divergent cuts would deadlock/diverge the collectives — and the
+    # solution must match the single-process solver to f32 tolerance
+    from cp_pfdr_graph_d1_tpu.parallel import (cp_loss_d1_simplex_dist,
+                                               cp_quadratic_d1_dist)
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_simplex import \
+        cp_loss_d1_simplex
+    copt = cp.CPOptions(dif_tol=1e-5, it_max=6, host_small="off",
+                        pfdr=cp.PFDROptions(rho=1.4, dif_tol=1e-6,
+                                            it_max=600))
+    ref_cp = cp_quadratic_d1(cp.DenseOp(jnp.asarray(a)), jnp.asarray(y),
+                             graph, la_l1=la_l1, opt=copt)
+    dres = cp_quadratic_d1_dist(cp.DenseOp(a), y, graph, mesh,
+                                la_l1=la_l1, opt=copt)
+    cv_all = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(dres.cv), tiled=False))
+    assert all(np.array_equal(cv_all[k], cv_all[0])
+               for k in range(cv_all.shape[0])), "cv diverged across procs"
+    x_dist = np.asarray(dres.rx)[np.asarray(dres.cv)]
+    x_cp_ref = np.asarray(ref_cp.rx)[np.asarray(ref_cp.cv)]
+    err_cp = float(np.max(np.abs(x_dist - x_cp_ref)))
+    print(f"[{pid}] cp_dist_err={err_cp:.3g}", flush=True)
+    assert err_cp <= 5e-4, f"cp_dist mismatch {err_cp}"
+
+    # -- distributed multi-label cut-pursuit -------------------------------
+    k = 3
+    q = np.abs(r.standard_normal((v, k))).astype(np.float32)
+    q /= q.sum(axis=1, keepdims=True)
+    mlg = cp.GraphD1.create(eu, ev, np.full(len(eu), 0.15, np.float32),
+                            num_vertices=v)
+    sopt = cp.CPOptions(dif_tol=0.5, it_max=4,
+                        pfdr=cp.PFDROptions(rho=1.2, dif_tol=1e-4,
+                                            it_max=300))
+    ref_ml = cp_loss_d1_simplex(mlg, jnp.asarray(q), al=1.0, opt=sopt)
+    dml = cp_loss_d1_simplex_dist(mlg, q, mesh, al=1.0, opt=sopt)
+    cv_ml = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(dml.cv), tiled=False))
+    assert all(np.array_equal(cv_ml[k_], cv_ml[0])
+               for k_ in range(cv_ml.shape[0])), "ml cv diverged"
+    p_dist = np.asarray(dml.rp)[np.asarray(dml.cv)]
+    p_ref = np.asarray(ref_ml.rp)[np.asarray(ref_ml.cv)]
+    err_ml = float(np.max(np.abs(p_dist - p_ref)))
+    print(f"[{pid}] ml_dist_err={err_ml:.3g}", flush=True)
+    assert err_ml <= 1e-3, f"ml_dist mismatch {err_ml}"
     print(f"[{pid}] MULTIHOST_OK", flush=True)
 
 

@@ -106,3 +106,36 @@ def test_pfdr_state_kill_resume_reproduces_trajectory(tmp_path):
                                   np.asarray(full_state.zu))
     np.testing.assert_array_equal(np.asarray(res_state.dif_rcd2),
                                   np.asarray(full_state.dif_rcd2))
+
+
+def test_simplex_inner_state_kill_resume(tmp_path):
+    """Simplex inner-solver state: a 40-iteration run split 15+25 through
+    an .npz checkpoint reproduces the uninterrupted trajectory exactly
+    (the simplex twin of the quadratic kill/resume test; the reference's
+    CPls_Restart never persisted inner state,
+    include/CP_PFDR_graph_loss_d1_simplex.hpp:26-48)."""
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import \
+        pfdr_loss_d1_simplex
+
+    eu, ev, la = make_grid_graph(8, 8, seed=4)
+    v, k = 64, 4
+    r = np.random.default_rng(9)
+    q = r.dirichlet(np.full(k, 0.6), size=v)
+    g = GraphD1.create(eu, ev, 0.4 * la, dtype=jnp.float64)
+    opt40 = PFDROptions(rho=1.3, dif_tol=0.0, it_max=40)
+    full = pfdr_loss_d1_simplex(g, jnp.asarray(q), al=1.0, opt=opt40)
+
+    opt15 = PFDROptions(rho=1.3, dif_tol=0.0, it_max=15)
+    _, st = pfdr_loss_d1_simplex(g, jnp.asarray(q), al=1.0, opt=opt15,
+                                 return_state=True)
+    path = tmp_path / "simplex_inner.npz"
+    save_state(path, jax.device_get(st))
+    st2 = load_state(path)
+    assert int(st2.it) == 15
+    res2 = pfdr_loss_d1_simplex(
+        g, jnp.asarray(q), al=1.0,
+        opt=PFDROptions(rho=1.3, dif_tol=0.0, it_max=40),
+        state0=jax.tree_util.tree_map(jnp.asarray, st2))
+    assert int(res2.it) == 40
+    np.testing.assert_allclose(np.asarray(res2.p), np.asarray(full.p),
+                               rtol=0, atol=1e-14)
