@@ -37,7 +37,8 @@ from .cut_pursuit_common import (bucket, build_reduced_graph,
                                  host_reduce_diag, host_reduce_gram,
                                  machine_eps, make_reduced_container,
                                  pad_reduced_graph)
-from .pfdr_quadratic import VertexProx, pfdr_quadratic_d1
+from .pfdr_quadratic import (VertexProx, initial_precondition,
+                             pfdr_quadratic_d1)
 
 # dense/Gram operators larger than this stay on device even when the
 # host-small path is active (the host gradient would be the bottleneck)
@@ -137,6 +138,97 @@ def _reduce_diag(diag, obs, cv, rv_cap: int):
 
 from ..ops.power_iter import GramApply as _GramApply  # noqa: E402
 from ..ops.power_iter import MatApply as _MatApply  # noqa: E402
+
+
+class _ScatterGraph:
+    """Minimal device-resident graph for in-jit preconditioning of small
+    reduced problems: scatter-add transfers, no host incidence table —
+    everything traces inside one dispatch (the reduced graphs here are a
+    few hundred edges, so the one-time serial gathers are negligible)."""
+
+    def __init__(self, eu, ev, la_d1, num_vertices: int):
+        self.eu = eu
+        self.ev = ev
+        self.la_d1 = la_d1
+        self.num_vertices = num_vertices
+        self.num_edges = eu.shape[0]
+
+    def gather_endpoints(self, x):
+        return x[self.eu], x[self.ev]
+
+    def edge_to_vertex_sum(self, vals_u, vals_v):
+        out = jnp.zeros((self.num_vertices,), vals_u.dtype)
+        return out.at[self.eu].add(vals_u).at[self.ev].add(vals_v)
+
+    def vertex_allsum(self, vals):
+        return jnp.sum(vals)
+
+    def vertex_degree_weighted(self, edge_w):
+        return self.edge_to_vertex_sum(edge_w, edge_w)
+
+
+@partial(jax.jit, static_argnames=("rv_cap", "e_cap", "kind", "pre_at",
+                                   "np_pad", "vprox", "rho", "dif_tol",
+                                   "interpret"))
+def _reduce_solve_small(op_arr, obs, cv, reu, rev, rla, r_la_l1, x0,
+                        it_max, rv, *, rv_cap: int, e_cap: int, kind: str,
+                        pre_at: bool, np_pad: int, vprox: VertexProx,
+                        rho: float, dif_tol: float, interpret: bool):
+    """ONE device dispatch for a whole small-reduced CP stage: one-hot
+    operator reduction + Lipschitz metric, preconditioning, and the
+    complete PFDR solve via the dense-selection Pallas kernel
+    (:mod:`..ops.solve_small`) — the only host round trip of a small CP
+    iteration is fetching ``(rx, it)`` back."""
+    from ..ops.solve_small import fused_pfdr_solve_small
+
+    dt = obs.dtype
+    if kind == "dense":
+        mat, ry, lipsch = _reduce_dense(op_arr, obs, cv, rv_cap, pre_at)
+        r_op = GramOp(mat) if pre_at else DenseOp(mat)
+    elif kind == "gram":
+        mat, ry, lipsch = _reduce_gram(op_arr, obs, cv, rv_cap)
+        r_op = GramOp(mat)
+    else:
+        mat, ry, lipsch = _reduce_diag(op_arr, obs, cv, rv_cap)
+        r_op = DiagOp(mat)
+    g = _ScatterGraph(reu, rev, rla, rv_cap)
+    pre = initial_precondition(r_op, ry, g, r_la_l1, rho, lipsch,
+                               Lipsch.DIAG)
+
+    def row(v):
+        return v.reshape(1, -1).astype(dt)
+
+    if kind == "dense" and not pre_at:
+        n = mat.shape[0]
+        a_pad = jnp.pad(mat, ((0, np_pad - n), (0, 0)))
+        op_a, op_b = a_pad.T, a_pad
+        aty = row(r_op.apply_t(ry))
+        op_kind = "dense"
+    elif kind == "diag":
+        op_a = row(mat)
+        op_b = jnp.zeros((8, 128), dt)
+        aty = row(ry)
+        op_kind = "diag"
+    else:
+        op_a = mat
+        op_b = jnp.zeros((8, 128), dt)
+        aty = row(ry)
+        op_kind = "gram"
+    z0 = jnp.stack([x0[reu], x0[rev]]).astype(dt)
+    ec = jnp.zeros((8, e_cap), dt)
+    ec = ec.at[0].set(pre.wu).at[1].set(pre.wv).at[2].set(pre.w_d1u)
+    ec = ec.at[3].set(pre.w_d1v).at[4].set(pre.th_d1)
+    m = jax.nn.one_hot(jnp.concatenate([reu, rev]), rv_cap, dtype=dt,
+                       axis=0)
+    eps_mach = float(jnp.finfo(dt).eps)
+    eps = dif_tol if (0 < dif_tol < eps_mach) else eps_mach
+    x, _, it, _ = fused_pfdr_solve_small(
+        m, op_a, op_b, aty, row(pre.ga), row(pre.th_l1), row(x0), z0, ec,
+        rv_cap=rv_cap, e_pad=e_cap, np_pad=np_pad, op_kind=op_kind,
+        rho=rho, vkind=vprox.kind, positivity=vprox.positivity,
+        lo=float(vprox.lo), hi=float(vprox.hi), it_max=it_max,
+        dif_tol2=float(dif_tol) ** 2, eps=eps, rv=rv, interpret=interpret)
+    return x.reshape(-1), it
 
 
 # ---------------------------------------------------------------------------
@@ -447,27 +539,69 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                        and (a_np is not None or gram_np is not None
                             or diag_np is not None))
         dev_ok = False
+        small_ok = False
         if dev_route:
-            from ..banded_graph import BandedGraphD1
-            from ..ops.solve_fused import supports_fused_solve
+            from ..ops.solve_small import supports_small_solve
             rv_cap = max(bucket(num_comp), 128)
-            rgraph_b = BandedGraphD1.create(
-                rg.eu, rg.ev, rg.la_d1, num_vertices=rv_cap,
-                dtype=obs_dev.dtype, round_wd8=True)
-            pln = rgraph_b.plan
+            e_cap = max(bucket(len(rg.eu)), 128)
             if isinstance(op, DenseOp):
                 n_obs = op.a.shape[0]
                 pre_at = num_comp < (2 * n_obs * pfdr_it_prev) // (
                     n_obs + pfdr_it_prev)
                 kind = "gram" if pre_at else "dense"
                 n_pad = 128 if pre_at else -(-n_obs // 128) * 128
+                red_kind = "dense"
             elif isinstance(op, GramOp):
                 kind, n_pad, pre_at = "gram", 128, False
+                red_kind = "gram"
             else:
                 kind, n_pad, pre_at = "diag", 128, False
+                red_kind = "diag"
+            small_ok = supports_small_solve(rv_cap, e_cap, n_pad, kind)
+        if dev_route and not small_ok:
+            from ..banded_graph import BandedGraphD1
+            from ..ops.solve_fused import supports_fused_solve
+            rgraph_b = BandedGraphD1.create(
+                rg.eu, rg.ev, rg.la_d1, num_vertices=rv_cap,
+                dtype=obs_dev.dtype, round_wd8=True)
+            pln = rgraph_b.plan
             dev_ok = supports_fused_solve(pln.num_tiles, pln.tile,
                                           pln.wd8, pln.v8, n_pad, kind)
-        if dev_ok:
+        if small_ok:
+            # -- one-dispatch pipeline: reduce + precondition + dense-
+            # selection whole-solve kernel (:mod:`..ops.solve_small`);
+            # the only blocking round trip is the (rx, it) fetch
+            if op_dev is None:
+                if isinstance(op, DenseOp):
+                    op_dev = jnp.asarray(op.a, obs_dev.dtype)
+                elif isinstance(op, GramOp):
+                    op_dev = jnp.asarray(op.gram, obs_dev.dtype)
+                elif isinstance(op, DiagOp):
+                    op_dev = jnp.asarray(op.diag, obs_dev.dtype)
+                else:
+                    op_dev = jnp.ones((num_v,), obs_dev.dtype)
+            reu_p, rev_p, rla_p = pad_reduced_graph(rg, rv_cap, e_cap)
+            if la_l1 is not None:
+                r_la_l1 = np.zeros(rv_cap, dtype)
+                np.add.at(r_la_l1, cv, la_l1)
+                r_la_l1 = jnp.asarray(r_la_l1)
+            else:
+                r_la_l1 = None
+            x0_pad = np.zeros(rv_cap, dtype)
+            x0_pad[:num_comp] = rx0
+            interp = not (jax.default_backend() == "tpu"
+                          and dtype == np.float32)
+            rx_d, it_d = _reduce_solve_small(
+                op_dev, obs_dev, jnp.asarray(cv), jnp.asarray(reu_p),
+                jnp.asarray(rev_p), jnp.asarray(rla_p, dtype), r_la_l1,
+                jnp.asarray(x0_pad), opt.pfdr.it_max, num_comp,
+                rv_cap=rv_cap, e_cap=e_cap, kind=red_kind, pre_at=pre_at,
+                np_pad=n_pad, vprox=vprox, rho=float(opt.pfdr.rho),
+                dif_tol=float(opt.pfdr.dif_tol), interpret=interp)
+            rx_d, it_d = jax.device_get((rx_d, it_d))
+            pfdr_it_prev = max(int(it_d), 1)
+            rx = np.asarray(rx_d, dtype)[:num_comp]
+        elif dev_ok:
             # -- device pipeline: one-hot reduce + whole-solve kernel -------
             if op_dev is None:
                 if isinstance(op, DenseOp):
