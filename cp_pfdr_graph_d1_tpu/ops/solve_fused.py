@@ -58,49 +58,13 @@ def solve_vmem_bytes(nt: int, tile: int, wd8: int, v8: int, np_pad: int,
         + tile * t8         # pack_rows constant
         + tile * 128        # lanesel constant
         + 10 * tile * 128   # live gather/pack/scatter [T, 128..256] temps
-        + 4 * wd8 * 128)    # window temporaries
-        # int8 precomputed selectors (prologue; lanes pad to 128)
-        + 2 * nt * tile * max(wd8, 128) + 2 * nt * tile * 128)
+        + 4 * wd8 * 128))   # window temporaries
 
 
 def supports_fused_solve(nt: int, tile: int, wd8: int, v8: int,
                          np_pad: int, op_kind: str) -> bool:
     return solve_vmem_bytes(nt, tile, wd8, v8, np_pad,
                             op_kind) <= VMEM_BUDGET_BYTES
-
-
-def _endpoint_sel_val(lr, ll, tile, wd8, pack_rows, lanesel):
-    """Value twin of :func:`.banded._endpoint_sel` ([T8,128] blocks in)."""
-    dt = jnp.float32
-    c = jax.lax.dot_general(pack_rows.astype(dt), lr,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=dt, precision=HI)
-    lr_col = jnp.sum(c * lanesel.astype(dt), axis=1, keepdims=True)
-    c = jax.lax.dot_general(pack_rows.astype(dt), ll,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=dt, precision=HI)
-    ll_col = jnp.sum(c * lanesel.astype(dt), axis=1, keepdims=True)
-    lr_i = (lr_col + 0.5).astype(jnp.int32)
-    ll_i = (ll_col + 0.5).astype(jnp.int32)
-    rsel = (lr_i == jax.lax.broadcasted_iota(
-        jnp.int32, (tile, wd8), 1)).astype(jnp.float32)
-    lsel = (ll_i == jax.lax.broadcasted_iota(
-        jnp.int32, (tile, 128), 1)).astype(jnp.float32)
-    return rsel, lsel
-
-
-def _pack_val(col, pack_rows, lanesel):
-    return jnp.dot(pack_rows.astype(col.dtype),
-                   col * lanesel.astype(col.dtype),
-                   preferred_element_type=col.dtype, precision=HI)
-
-
-def _unpack_val(dense, pack_rows, lanesel):
-    c = jax.lax.dot_general(pack_rows.astype(dense.dtype), dense,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=dense.dtype,
-                            precision=HI)
-    return jnp.sum(c * lanesel.astype(dense.dtype), axis=1, keepdims=True)
 
 
 def _kernel(starts_ref, itm_ref,
@@ -123,6 +87,34 @@ def _kernel(starts_ref, itm_ref,
     def cond(c):
         it, dif = c
         return jnp.logical_and(it < it_max, dif >= dif_tol2)
+
+    lanesel2 = jnp.concatenate([lanesel, lanesel], axis=1)      # [T, 256]
+    lanesel4 = jnp.concatenate([lanesel2, lanesel2], axis=1)    # [T, 512]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (tile, wd8), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+    # local row indices < wd8 <= 256 and lane indices < 128 are exact under
+    # the MXU's DEFAULT (bf16-truncating) precision, so the merged index
+    # unpack dot runs single-pass instead of 6-pass HIGHEST
+    idx_prec = None if wd8 <= 256 else HI
+
+    # f32 value dots: a 3-term decomposition into exactly-bf16-representable
+    # f32 terms (24 = 3 x 8 mantissa bits), contracted in ONE single-pass
+    # DEFAULT-precision dot (whose bf16 input truncation is then lossless),
+    # replaces the 6-pass HIGHEST dot — exact for the one-hot gather/pack
+    # dots (each output is a single selected value and hi+mid+lo
+    # reconstructs it exactly), HIGHEST-equivalent for the scatter
+    # accumulation (same f32 accumulator, exact term products)
+    use_split = dt == jnp.float32
+
+    def split3(vals, axis):
+        v_hi = vals.astype(jnp.bfloat16).astype(dt)
+        r1 = vals - v_hi
+        v_mid = r1.astype(jnp.bfloat16).astype(dt)
+        v_lo = r1 - v_mid
+        return jnp.concatenate([v_hi, v_mid, v_lo], axis=axis)
+
+    pack3 = jnp.concatenate([pack_rows] * 3, axis=0)   # [3T8, T]
+    pack3c = jnp.concatenate([pack_rows] * 3, axis=1)  # [T8, 3T]
 
     def body(c):
         it, _ = c
@@ -153,23 +145,63 @@ def _kernel(starts_ref, itm_ref,
             s = starts_ref[t]
             xw = x_s[pl.ds(s, wd8)]
             pw = p_s[pl.ds(s, wd8)]
+            win2 = jnp.concatenate([pw, xw], axis=1)    # [Wd8, 256]
             sl = slice(t * t8, (t + 1) * t8)
-            sels = []
-            packed = []
-            for lr, ll in ((lur_ref[sl], lul_ref[sl]),
-                           (lvr_ref[sl], lvl_ref[sl])):
-                rsel, lsel = _endpoint_sel_val(lr, ll, tile, wd8,
-                                               pack_rows, lanesel)
-                sels.append((rsel, lsel))
-                rows_p = jnp.dot(rsel, pw, preferred_element_type=dt,
-                                 precision=HI)          # [T, 128]
-                rows_x = jnp.dot(rsel, xw, preferred_element_type=dt,
+            # ONE single-pass dot unpacks all four index fields to columns
+            cidx = jnp.concatenate([lur_ref[sl], lul_ref[sl],
+                                    lvr_ref[sl], lvl_ref[sl]], axis=1)
+            ci = jax.lax.dot_general(
+                pack_rows, cidx,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=dt, precision=idx_prec)  # [T, 512]
+            cil = ci * lanesel4
+            lur_i = (jnp.sum(cil[:, 0:128], axis=1, keepdims=True)
+                     + 0.5).astype(jnp.int32)
+            lul_i = (jnp.sum(cil[:, 128:256], axis=1, keepdims=True)
+                     + 0.5).astype(jnp.int32)
+            lvr_i = (jnp.sum(cil[:, 256:384], axis=1, keepdims=True)
+                     + 0.5).astype(jnp.int32)
+            lvl_i = (jnp.sum(cil[:, 384:512], axis=1, keepdims=True)
+                     + 0.5).astype(jnp.int32)
+            rsel_u = (lur_i == iota_w).astype(dt)
+            lsel_u = (lul_i == iota_l).astype(dt)
+            rsel_v = (lvr_i == iota_w).astype(dt)
+            lsel_v = (lvl_i == iota_l).astype(dt)
+
+            # endpoint gathers: p and x rows jointly per endpoint
+            if use_split:
+                win3 = split3(win2, axis=0)             # [3 Wd8, 256]
+                rs3u = jnp.concatenate([rsel_u] * 3, axis=1)
+                rs3v = jnp.concatenate([rsel_v] * 3, axis=1)
+                rows_u = jnp.dot(rs3u, win3,
+                                 preferred_element_type=dt)  # [T, 256]
+                rows_v = jnp.dot(rs3v, win3, preferred_element_type=dt)
+            else:
+                rows_u = jnp.dot(rsel_u, win2, preferred_element_type=dt,
+                                 precision=HI)          # [T, 256]
+                rows_v = jnp.dot(rsel_v, win2, preferred_element_type=dt,
                                  precision=HI)
-                pcol = jnp.sum(rows_p * lsel, axis=1, keepdims=True)
-                xcol = jnp.sum(rows_x * lsel, axis=1, keepdims=True)
-                packed.append((_pack_val(pcol, pack_rows, lanesel),
-                               _pack_val(xcol, pack_rows, lanesel)))
-            (pu_e, xu_e), (pv_e, xv_e) = packed
+            rlu = rows_u * jnp.concatenate([lsel_u, lsel_u], axis=1)
+            rlv = rows_v * jnp.concatenate([lsel_v, lsel_v], axis=1)
+            pcol_u = jnp.sum(rlu[:, :128], axis=1, keepdims=True)
+            xcol_u = jnp.sum(rlu[:, 128:], axis=1, keepdims=True)
+            pcol_v = jnp.sum(rlv[:, :128], axis=1, keepdims=True)
+            xcol_v = jnp.sum(rlv[:, 128:], axis=1, keepdims=True)
+            # ONE pack dot for all four gathered columns
+            quad = jnp.concatenate(
+                [pcol_u * lanesel, xcol_u * lanesel,
+                 pcol_v * lanesel, xcol_v * lanesel], axis=1)   # [T, 512]
+            if use_split:
+                packed = jnp.dot(pack3c, split3(quad, axis=0),
+                                 preferred_element_type=dt)  # [T8, 512]
+            else:
+                packed = jnp.dot(pack_rows, quad,
+                                 preferred_element_type=dt,
+                                 precision=HI)          # [T8, 512]
+            pu_e = packed[:, 0:128]
+            xu_e = packed[:, 128:256]
+            pv_e = packed[:, 256:384]
+            xv_e = packed[:, 384:512]
 
             # per-edge d1 pair prox + relaxation (:466-489)
             zu = zuo_ref[sl]
@@ -187,16 +219,38 @@ def _kernel(starts_ref, itm_ref,
             zuo_ref[sl] = zu
             zvo_ref[sl] = zv
 
-            # weighted edge->vertex accumulation (:491-497)
-            win = jnp.zeros((wd8, 128), dt)
-            for (rsel, lsel), contrib in ((sels[0], wu_ref[sl] * zu),
-                                          (sels[1], wv_ref[sl] * zv)):
-                col = _unpack_val(contrib, pack_rows, lanesel)
-                d = col * lsel
-                win = win + jax.lax.dot_general(
-                    rsel, d,
+            # weighted edge->vertex accumulation (:491-497): ONE unpack
+            # dot for both contributions, ONE scatter dot for both
+            # endpoints (stacked along the contracted edge axis)
+            wz2 = jnp.concatenate([wu_ref[sl] * zu, wv_ref[sl] * zv],
+                                  axis=1)               # [T8, 256]
+            if use_split:
+                cz = jax.lax.dot_general(
+                    pack3, split3(wz2, axis=0),
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=dt, precision=HI)
+                    preferred_element_type=dt)          # [T, 256]
+            else:
+                cz = jax.lax.dot_general(
+                    pack_rows, wz2,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=dt, precision=HI)  # [T, 256]
+            czl = cz * lanesel2
+            col_u = jnp.sum(czl[:, :128], axis=1, keepdims=True)
+            col_v = jnp.sum(czl[:, 128:], axis=1, keepdims=True)
+            d_cat = jnp.concatenate([col_u * lsel_u, col_v * lsel_v],
+                                    axis=0)             # [2T, 128]
+            rsel_cat = jnp.concatenate([rsel_u, rsel_v], axis=0)
+            if use_split:
+                rs3cat = jnp.concatenate([rsel_cat] * 3, axis=0)
+                win = jax.lax.dot_general(
+                    rs3cat, split3(d_cat, axis=0),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=dt)          # [Wd8, 128]
+            else:
+                win = jax.lax.dot_general(
+                    rsel_cat, d_cat,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=dt, precision=HI)  # [Wd8, 128]
             acc_s[pl.ds(s, wd8)] += win
 
         a = acc_s[:]
