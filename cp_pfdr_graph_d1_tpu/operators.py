@@ -15,8 +15,20 @@ mode-dependent meaning (``y`` for :class:`DenseOp`, ``A^t y`` otherwise).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+# Solver math is convergent optimization, not NN training: f32 inputs must
+# get IEEE-f32 products.  The TPU MXU's DEFAULT precision truncates f32
+# operands to bfloat16 (~8 mantissa bits), which caps solve accuracy at
+# ~1e-3 relative — measured to break cut-pursuit partition quality (the
+# merge/cut decisions feed on ~1e-4-relative value differences).  All
+# operator products therefore run at HIGHEST precision; the hot Pallas
+# kernels choose their precision per-dot instead.
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+_vdot = partial(jnp.vdot, precision=jax.lax.Precision.HIGHEST)
 
 
 def _register(cls):
@@ -79,16 +91,16 @@ class DenseOp(QuadOp):
         return self.a.shape[0]
 
     def apply(self, x):
-        return self.a @ x
+        return _mm(self.a, x)
 
     def apply_t(self, r):
-        return self.a.T @ r
+        return _mm(self.a.T, r)
 
     def residual(self, x, obs):
-        return obs - self.a @ x
+        return obs - _mm(self.a, x)
 
     def gram_apply(self, x):
-        return self.a.T @ (self.a @ x)
+        return _mm(self.a.T, _mm(self.a, x))
 
     def gram_diag(self, num_vertices, dtype):
         return jnp.sum(self.a * self.a, axis=0).astype(dtype)
@@ -98,14 +110,14 @@ class DenseOp(QuadOp):
 
     def quad_obj(self, x, obs):
         r = self.residual(x, obs)
-        return 0.5 * jnp.vdot(r, r)
+        return 0.5 * _vdot(r, r)
 
     def ones_image(self, num_vertices, obs):
         a1 = jnp.sum(self.a, axis=1)
-        return jnp.vdot(a1, obs), jnp.vdot(a1, a1)
+        return _vdot(a1, obs), _vdot(a1, a1)
 
     def reduce(self, assign_onehot):
-        return DenseOp(self.a @ assign_onehot)
+        return DenseOp(_mm(self.a, assign_onehot))
 
     def tree_flatten(self):
         return (self.a,), None
@@ -123,22 +135,22 @@ class GramOp(QuadOp):
         self.gram = gram  # [V, V]
 
     def gram_apply(self, x):
-        return self.gram @ x
+        return _mm(self.gram, x)
 
     def gram_diag(self, num_vertices, dtype):
         return jnp.diagonal(self.gram).astype(dtype)
 
     def grad(self, x, obs):
-        return self.gram @ x - obs
+        return _mm(self.gram, x) - obs
 
     def quad_obj(self, x, obs):
-        return jnp.vdot(x, 0.5 * (self.gram @ x) - obs)
+        return _vdot(x, 0.5 * _mm(self.gram, x) - obs)
 
     def ones_image(self, num_vertices, obs):
         return jnp.sum(obs), jnp.sum(self.gram)
 
     def reduce(self, assign_onehot):
-        return GramOp(assign_onehot.T @ self.gram @ assign_onehot)
+        return GramOp(_mm(assign_onehot.T, _mm(self.gram, assign_onehot)))
 
     def tree_flatten(self):
         return (self.gram,), None
@@ -167,13 +179,13 @@ class DiagOp(QuadOp):
         return self.diag * x - obs
 
     def quad_obj(self, x, obs):
-        return jnp.vdot(x, 0.5 * self.diag * x - obs)
+        return _vdot(x, 0.5 * self.diag * x - obs)
 
     def ones_image(self, num_vertices, obs):
         return jnp.sum(obs), jnp.sum(self.diag)
 
     def reduce(self, assign_onehot):
-        return DiagOp(self.diag @ assign_onehot)
+        return DiagOp(_mm(self.diag, assign_onehot))
 
     def tree_flatten(self):
         return (self.diag,), None
@@ -197,7 +209,7 @@ class IdentityOp(QuadOp):
         return x - obs
 
     def quad_obj(self, x, obs):
-        return jnp.vdot(x, 0.5 * x - obs)
+        return _vdot(x, 0.5 * x - obs)
 
     def ones_image(self, num_vertices, obs):
         return jnp.sum(obs), jnp.asarray(float(num_vertices), obs.dtype)

@@ -13,6 +13,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+# IEEE-f32 products: the MXU's default bf16 truncation perturbs the
+# estimated norm (and hence the PFDR step sizes) at ~1e-3 relative
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
 from ..config import (OPERATOR_NORM_IT_MAX, OPERATOR_NORM_NB_INIT,
                       OPERATOR_NORM_TOL)
 
@@ -71,7 +75,7 @@ class MatApply:
         self.m = m
 
     def __call__(self, x):
-        return self.m @ x
+        return _mm(self.m, x)
 
 
 class GramApply:
@@ -81,7 +85,7 @@ class GramApply:
         self.a = a
 
     def __call__(self, x):
-        return self.a.T @ (self.a @ x)
+        return _mm(self.a.T, _mm(self.a, x))
 
 
 def presymmetrize_wins(m: int, n: int,
@@ -107,7 +111,7 @@ def dense_operator_norm(a, *, tol: float = OPERATOR_NORM_TOL,
     m, n = a.shape
     if presymmetrize_wins(m, n, it_max):
         p = min(m, n)
-        gram = a @ a.T if m <= n else a.T @ a
+        gram = _mm(a, a.T) if m <= n else _mm(a.T, a)
         return operator_norm(MatApply(gram), p, a.dtype, tol=tol,
                              it_max=it_max, nb_init=nb_init, key=key)
     return operator_norm(GramApply(a), n, a.dtype, tol=tol, it_max=it_max,

@@ -28,7 +28,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..config import Lipsch, PFDROptions
 from ..graph import GraphD1, _build_incidence
-from ..operators import DenseOp
+from ..operators import DenseOp, _mm
 from ..solvers.pfdr_quadratic import (PFDRResult, VertexProx,
                                       pfdr_quadratic_d1)
 from ..solvers.pfdr_simplex import SimplexResult, pfdr_loss_d1_simplex
@@ -44,7 +44,7 @@ class DistDenseOp(DenseOp):
         self.axis_name = axis_name
 
     def apply_t(self, r):
-        return jax.lax.psum(self.a.T @ r, self.axis_name)
+        return jax.lax.psum(_mm(self.a.T, r), self.axis_name)
 
     def gram_diag(self, num_vertices, dtype):
         return jax.lax.psum(jnp.sum(self.a * self.a, axis=0),

@@ -23,7 +23,7 @@ from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from ..config import Lipsch, PFDROptions
-from ..operators import DenseOp
+from ..operators import DenseOp, _mm
 from ..solvers.pfdr_quadratic import (PFDRResult, VertexProx,
                                       pfdr_quadratic_d1)
 from ..solvers.pfdr_simplex import SimplexResult, pfdr_loss_d1_simplex
@@ -127,13 +127,13 @@ class ColShardDenseOp(DenseOp):
         self.axis_name = axis_name
 
     def apply(self, x):
-        return jax.lax.psum(self.a @ x, self.axis_name)
+        return jax.lax.psum(_mm(self.a, x), self.axis_name)
 
     def residual(self, x, obs):
         return obs - self.apply(x)
 
     def gram_apply(self, x):
-        return self.a.T @ self.apply(x)
+        return _mm(self.a.T, self.apply(x))
 
     def ones_image(self, num_vertices, obs):
         a1 = jax.lax.psum(jnp.sum(self.a, axis=1), self.axis_name)

@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# reduced-operator products must be IEEE-f32 (not bf16-truncated): the
+# reduced Gram/metric feed merge and cut decisions at ~1e-4 relative
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
 from .. import maxflow, native
 from ..config import CPOptions, Lipsch
 from ..graph import GraphD1
@@ -88,10 +92,10 @@ def _reduce_dense(a, obs, cv, rv_cap: int, pre_at: bool):
     from ..ops.power_iter import dense_operator_norm, operator_norm
 
     s = jax.nn.one_hot(cv, rv_cap, dtype=a.dtype)
-    ra = a @ s  # [N, rv_cap] — component column sums on the MXU
+    ra = _mm(a, s)  # [N, rv_cap] — component column sums on the MXU
     if pre_at:
-        raa = ra.T @ ra
-        ry = ra.T @ obs
+        raa = _mm(ra.T, ra)
+        ry = _mm(ra.T, obs)
         d = jnp.sqrt(jnp.diagonal(raa))
         d_safe = jnp.where(d > 0, d, 1)
         eq = raa / (d_safe[:, None] * d_safe[None, :])
@@ -116,8 +120,8 @@ def _reduce_gram(gram, obs, cv, rv_cap: int):
     from ..ops.power_iter import operator_norm
 
     s = jax.nn.one_hot(cv, rv_cap, dtype=gram.dtype)
-    raa = s.T @ (gram @ s)
-    ry = obs @ s
+    raa = _mm(s.T, _mm(gram, s))
+    ry = _mm(obs, s)
     d = jnp.sqrt(jnp.maximum(jnp.diagonal(raa), 0))
     d_safe = jnp.where(d > 0, d, 1)
     eq = raa / (d_safe[:, None] * d_safe[None, :])
@@ -131,8 +135,8 @@ def _reduce_diag(diag, obs, cv, rv_cap: int):
     """Reduced quantities for the diagonal/identity mode: the reduced Gram
     stays diagonal and is its own Lipschitz metric (``:774-776``)."""
     s = jax.nn.one_hot(cv, rv_cap, dtype=obs.dtype)
-    rdiag = diag @ s
-    ry = obs @ s
+    rdiag = _mm(diag, s)
+    ry = _mm(obs, s)
     return rdiag, ry, rdiag
 
 

@@ -232,7 +232,8 @@ def _reduce_vertex_terms(cv, x, la_l1, firsts, rv_cap: int):
     (any representative; components are constant), on device."""
     if rv_cap <= _ONEHOT_MAX:
         s = jax.nn.one_hot(cv, rv_cap, dtype=x.dtype)
-        r_la_l1 = la_l1 @ s
+        r_la_l1 = jnp.matmul(la_l1, s,
+                             precision=jax.lax.Precision.HIGHEST)
     else:
         order, starts = _vertex_runs(cv, rv_cap)
         v = cv.shape[0]

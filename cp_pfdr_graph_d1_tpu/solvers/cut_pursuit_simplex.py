@@ -81,7 +81,9 @@ def _reduce_obs_device(q, cv, rv_cap: int):
     (``CP_PFDR_graph_loss_d1_simplex.cpp:733-766``).  Under GSPMD with
     ``q`` sharded over the vertex axis this is a local matmul + psum."""
     s = jax.nn.one_hot(cv, rv_cap, dtype=q.dtype)
-    return s.T @ q, jnp.sum(s, axis=0)
+    return jnp.matmul(s.T, q,
+                      precision=jax.lax.Precision.HIGHEST), \
+        jnp.sum(s, axis=0)
 
 
 def _alpha_expansion_cuts(dfs, rdi, cv, eu, ev, la_d1, active, eps,

@@ -109,7 +109,9 @@ def _reduce_obs(q, cv, rv_cap: int):
     beyond the one-hot regime (O(V K) memory)."""
     if rv_cap <= _ONEHOT_MAX:
         s = jax.nn.one_hot(cv, rv_cap, dtype=q.dtype)
-        return s.T @ q, jnp.sum(s, axis=0)
+        return jnp.matmul(s.T, q,
+                          precision=jax.lax.Precision.HIGHEST), \
+            jnp.sum(s, axis=0)
     v = cv.shape[0]
     order, starts = _vertex_runs(cv, rv_cap)
     prefix = jnp.concatenate([jnp.zeros((1, q.shape[1]), q.dtype),
