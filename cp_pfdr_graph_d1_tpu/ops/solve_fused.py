@@ -39,7 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .banded import HI, _selectors
 
-VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# sized so that, with the split3 live-temp surcharge in
+# :func:`solve_vmem_bytes`, admission is slightly TIGHTER than the
+# pre-split3 12 MiB gate on measured-working geometries (e.g. the 64x64
+# dense case estimates 16.4 MiB and runs on a v5e); callers must still
+# guard the first call — admission is an estimate, Mosaic's allocator is
+# the authority (the solvers fall back to the staged path on compile
+# failure)
+VMEM_BUDGET_BYTES = 18 * 1024 * 1024
 
 
 def solve_vmem_bytes(nt: int, tile: int, wd8: int, v8: int, np_pad: int,
@@ -55,10 +62,12 @@ def solve_vmem_bytes(nt: int, tile: int, wd8: int, v8: int, np_pad: int,
         + 9 * edge          # 7 edge fields in + zu/zv out
         + 9 * v8 * 128      # vertex fields in/out + x/p/acc scratch
         + op_bytes
-        + tile * t8         # pack_rows constant
+        + 4 * tile * t8     # pack_rows constant + 3x split copies
         + tile * 128        # lanesel constant
-        + 10 * tile * 128   # live gather/pack/scatter [T, 128..256] temps
-        + 4 * wd8 * 128))   # window temporaries
+        + 22 * tile * 128   # live gather/pack/scatter temps incl. the 3x
+                            # split3 copies ([3T, 512] quad, rs3cat)
+        + 10 * wd8 * 128    # window temps incl. win3 [3 Wd8, 256]
+        + 6 * tile * wd8))  # rs3u/rs3v [T, 3 Wd8] selector copies
 
 
 def supports_fused_solve(nt: int, tile: int, wd8: int, v8: int,

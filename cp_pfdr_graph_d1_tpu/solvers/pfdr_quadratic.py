@@ -403,17 +403,33 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                     whole_kind = None
                     interp = False
             if whole_kind is not None:
-                x, zu, zv, it, dif = _whole_solve(
-                    op, obs, graph, vprox, pre, x0, opt, interp,
-                    whole_kind)
-                res = PFDRResult(x=x, it=it, obj=jnp.zeros((1,), dtype),
-                                 dif=jnp.zeros((1,), dtype))
-                if return_state:
-                    return res, PFDRSolveState(
-                        x=x, zu=zu, zv=zv, pre=pre, x_prev=x, dif=dif,
-                        dif_rcd2=jnp.asarray(0.0, dtype),
-                        it=it.astype(jnp.int32))
-                return res
+                try:
+                    x, zu, zv, it, dif = _whole_solve(
+                        op, obs, graph, vprox, pre, x0, opt, interp,
+                        whole_kind)
+                    jax.block_until_ready(x)
+                except Exception as ex:  # noqa: BLE001
+                    # VMEM admission is an estimate; Mosaic's allocator is
+                    # the authority.  Compile failure near the boundary
+                    # falls back to the staged loop (interpret re-raises:
+                    # that mode exists for tests)
+                    if interp:
+                        raise
+                    import warnings
+                    warnings.warn(
+                        "whole-solve kernel failed to compile "
+                        f"({type(ex).__name__}); using the staged loop",
+                        RuntimeWarning)
+                else:
+                    res = PFDRResult(x=x, it=it,
+                                     obj=jnp.zeros((1,), dtype),
+                                     dif=jnp.zeros((1,), dtype))
+                    if return_state:
+                        return res, PFDRSolveState(
+                            x=x, zu=zu, zv=zv, pre=pre, x_prev=x, dif=dif,
+                            dif_rcd2=jnp.asarray(0.0, dtype),
+                            it=it.astype(jnp.int32))
+                    return res
 
         zu, zv = graph.gather_endpoints(x0)
 
