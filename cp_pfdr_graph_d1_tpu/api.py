@@ -158,7 +158,7 @@ def cp_quadratic_d1_l1(Y, A, Eu, Ev, La_d1, La_l1=None, positivity=False,
                       PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
     op = DenseOp(a)
     op._host_a = np.asarray(a_host, np.float64)  # spare host-small a pull
-    return _cp_run(op, jnp.asarray(np.asarray(Y), dtype), g, La_l1,
+    return _cp_run(op, np.asarray(Y, dtype), g, La_l1,
                    positivity, None, duplex, opt, monitor, state)
 
 
@@ -179,7 +179,7 @@ def cp_quadratic_d1_l1_AtA(AtY, AtA, Eu, Ev, La_d1, La_l1=None,
                       PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
     op = GramOp(gram)
     op._host_gram = np.asarray(gram_host, np.float64)
-    return _cp_run(op, jnp.asarray(np.asarray(AtY), dtype), g,
+    return _cp_run(op, np.asarray(AtY, dtype), g,
                    La_l1, positivity, None, duplex, opt, monitor, state)
 
 
@@ -231,7 +231,7 @@ def cp_quadratic_d1_bounds(Y, A, Eu, Ev, La_d1, m=-np.inf, M=np.inf,
     g = _graph(Eu, Ev, La_d1, a.shape[1], dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
                       PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
-    return _cp_run(DenseOp(a), jnp.asarray(np.asarray(Y), dtype), g, None,
+    return _cp_run(DenseOp(a), np.asarray(Y, dtype), g, None,
                    False, (float(m), float(M)), False, opt, monitor, state)
 
 
@@ -246,7 +246,7 @@ def cp_quadratic_d1_bounds_AtA(AtY, AtA, Eu, Ev, La_d1, m=-np.inf,
     g = _graph(Eu, Ev, La_d1, gram.shape[1], dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
                       PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
-    return _cp_run(GramOp(gram), jnp.asarray(np.asarray(AtY), dtype), g,
+    return _cp_run(GramOp(gram), np.asarray(AtY, dtype), g,
                    None, False, (float(m), float(M)), False, opt, monitor,
                    state)
 

@@ -91,6 +91,14 @@ class CPOptions:
         the problem's cost scale); an uncertified cut triggers a warning
         and a fallback to the host solver.
       cut_it_max: iteration cap of the device min-cut's PDHG loop.
+      inexact: "auto" caps the PFDR iterations of *intermediate* reduced
+        solves at ``inexact_cap`` (full accuracy is wasted while cuts are
+        still changing the partition) and finishes with one full-accuracy
+        solve on the settled partition, so the returned solution meets the
+        caller's ``pfdr.dif_tol``/``it_max`` contract; "off" runs every
+        reduced solve at full accuracy (the reference's behavior,
+        ``CP_PFDR_graph_quadratic_d1_l1.cpp:842-859``).
+      inexact_cap: iteration cap for intermediate reduced solves.
     """
 
     dif_tol: float = 1e-3
@@ -102,6 +110,8 @@ class CPOptions:
     cut: str = "host"
     cut_tol: float = 1e-6
     cut_it_max: int = 200_000
+    inexact: str = "auto"
+    inexact_cap: int = 3000
 
 
 # Parameters used by the reference cut-pursuit solvers for the power-method

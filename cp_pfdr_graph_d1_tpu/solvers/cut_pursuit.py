@@ -35,7 +35,8 @@ from .. import maxflow, native
 from ..config import CPOptions, Lipsch
 from ..graph import GraphD1
 from ..operators import DenseOp, DiagOp, GramOp, IdentityOp, QuadOp
-from .cut_pursuit_common import (bucket, build_reduced_graph,
+from .cut_pursuit_common import (np64,
+                                 bucket, build_reduced_graph,
                                  component_representatives,
                                  connected_components, host_reduce_dense,
                                  host_reduce_diag, host_reduce_gram,
@@ -171,21 +172,60 @@ class _ScatterGraph:
         return self.edge_to_vertex_sum(edge_w, edge_w)
 
 
+def pack_small_inputs(cv, reu, rev, rla, r_la_l1, x0, it_max, rv,
+                      rv_cap: int, e_cap: int, dtype):
+    """Builds the single packed input buffer of :func:`_reduce_solve_small`
+    (layout documented there); ``r_la_l1`` may be None (zeros slot)."""
+    cv = np.asarray(cv)
+    num_v = cv.shape[0]
+    buf = np.zeros(num_v + 3 * e_cap + 2 * rv_cap + 2, dtype)
+    o = num_v
+    buf[:num_v] = cv
+    buf[o:o + len(reu)] = reu; o += e_cap
+    buf[o:o + len(rev)] = rev; o += e_cap
+    buf[o:o + len(rla)] = rla; o += e_cap
+    if r_la_l1 is not None:
+        buf[o:o + len(r_la_l1)] = r_la_l1
+    o += rv_cap
+    x0 = np.asarray(x0)
+    buf[o:o + len(x0)] = x0; o += rv_cap
+    buf[o] = it_max
+    buf[o + 1] = rv
+    return buf
+
+
 @partial(jax.jit, static_argnames=("rv_cap", "e_cap", "kind", "pre_at",
                                    "np_pad", "vprox", "rho", "dif_tol",
-                                   "interpret"))
-def _reduce_solve_small(op_arr, obs, cv, reu, rev, rla, r_la_l1, x0,
-                        it_max, rv, *, rv_cap: int, e_cap: int, kind: str,
-                        pre_at: bool, np_pad: int, vprox: VertexProx,
-                        rho: float, dif_tol: float, interpret: bool):
+                                   "has_l1", "interpret"))
+def _reduce_solve_small(op_arr, obs, packed, *, rv_cap: int, e_cap: int,
+                        kind: str, pre_at: bool, np_pad: int,
+                        vprox: VertexProx, rho: float, dif_tol: float,
+                        has_l1: bool, interpret: bool):
     """ONE device dispatch for a whole small-reduced CP stage: one-hot
     operator reduction + Lipschitz metric, preconditioning, and the
     complete PFDR solve via the dense-selection Pallas kernel
-    (:mod:`..ops.solve_small`) — the only host round trip of a small CP
-    iteration is fetching ``(rx, it)`` back."""
+    (:mod:`..ops.solve_small`).
+
+    All per-iteration dynamic inputs arrive in ONE packed f32 buffer (the
+    tunnel RPC cost of a dispatch is ~fixed per transfer, so six small
+    uploads cost ~6x one): ``[cv (V) | reu (e_cap) | rev (e_cap) |
+    rla (e_cap) | r_la_l1 (rv_cap) | x0 (rv_cap) | it_max, rv]`` — all
+    index values are < 2^24 so f32 carries them exactly.  Returns one
+    packed ``[rv_cap + 1]`` buffer ``[x | it]`` for a single fetch."""
     from ..ops.solve_small import fused_pfdr_solve_small
 
     dt = obs.dtype
+    num_v = packed.shape[0] - 3 * e_cap - 2 * rv_cap - 2
+    o = num_v
+    cv = packed[:num_v].astype(jnp.int32)
+    reu = packed[o:o + e_cap].astype(jnp.int32); o += e_cap
+    rev = packed[o:o + e_cap].astype(jnp.int32); o += e_cap
+    rla = packed[o:o + e_cap].astype(dt); o += e_cap
+    r_la_l1 = packed[o:o + rv_cap].astype(dt) if has_l1 else None
+    o += rv_cap
+    x0 = packed[o:o + rv_cap].astype(dt); o += rv_cap
+    it_max = packed[o].astype(jnp.int32)
+    rv = packed[o + 1].astype(jnp.int32)
     if kind == "dense":
         mat, ry, lipsch = _reduce_dense(op_arr, obs, cv, rv_cap, pre_at)
         r_op = GramOp(mat) if pre_at else DenseOp(mat)
@@ -232,7 +272,8 @@ def _reduce_solve_small(op_arr, obs, cv, reu, rev, rla, r_la_l1, x0,
         rho=rho, vkind=vprox.kind, positivity=vprox.positivity,
         lo=float(vprox.lo), hi=float(vprox.hi), it_max=it_max,
         dif_tol2=float(dif_tol) ** 2, eps=eps, rv=rv, interpret=interpret)
-    return x.reshape(-1), it
+    return jnp.concatenate([x.reshape(-1).astype(dt),
+                            it.astype(dt).reshape(1)])
 
 
 # ---------------------------------------------------------------------------
@@ -350,6 +391,8 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
       state: optional warm restart from a previous result's ``.state``.
     """
     t0 = _time.monotonic()
+    from ..utils.monitor import StageProfiler
+    prof = StageProfiler()
     eu = np.asarray(graph.eu)
     ev = np.asarray(graph.ev)
     la_d1 = np.asarray(graph.la_d1)
@@ -400,9 +443,17 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     else:
         raise ValueError(f"unknown cut backend {opt.cut!r}")
 
-    la_l1_dev = jnp.asarray(la_l1 if la_l1 is not None
-                            else np.zeros(num_v, dtype))
-    la_l1_on = jnp.asarray(0.0 if la_l1 is None else 1.0, dtype)
+    # monitor-only device fields, built lazily (two eager uploads cost
+    # ~2 tunnel RPCs per solve even when monitor is off)
+    _mon = {}
+
+    def _mon_objective(x_full_np):
+        if not _mon:
+            _mon["la_l1"] = jnp.asarray(la_l1 if la_l1 is not None
+                                        else np.zeros(num_v, dtype))
+            _mon["on"] = jnp.asarray(0.0 if la_l1 is None else 1.0, dtype)
+        return float(_objective(op, obs_dev, jnp.asarray(x_full_np), graph,
+                                _mon["la_l1"], _mon["on"]))
 
     # -- host-small routing: below the crossover, reduced problems solve on
     # the host (native C++ PFDR) and the cut gradient is a host matvec,
@@ -417,20 +468,20 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     a_np = gram_np = diag_np = a_t_np = None
     y_np = None
     if use_host:
-        y_np = np.asarray(obs, np.float64)
+        y_np = np64(obs)
         if isinstance(op, DenseOp) and op.a.size <= _HOST_OP_MAX_ELEMS:
             # prefer a caller-provided host copy (the api layer attaches
             # one) over a device download
             a_np = getattr(op, "_host_a", None)
             if a_np is None:
-                a_np = np.asarray(op.a, np.float64)
+                a_np = np64(op.a)
             a_t_np = np.ascontiguousarray(a_np.T)
         elif isinstance(op, GramOp) and op.gram.size <= _HOST_OP_MAX_ELEMS:
             gram_np = getattr(op, "_host_gram", None)
             if gram_np is None:
-                gram_np = np.asarray(op.gram, np.float64)
+                gram_np = np64(op.gram)
         elif isinstance(op, DiagOp):
-            diag_np = np.asarray(op.diag, np.float64)
+            diag_np = np64(op.diag)
         elif isinstance(op, IdentityOp):
             diag_np = np.ones(num_v)
         la_l1_64 = (np.asarray(la_l1, np.float64)
@@ -488,57 +539,40 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     difs = []
     x_prev = rx[cv]
     if monitor:
-        objs.append(float(_objective(op, obs_dev, jnp.asarray(x_prev),
-                                     graph, la_l1_dev, la_l1_on)))
+        objs.append(_mon_objective(x_prev))
 
+    prof.tick("init")
     pfdr_it_prev = opt.pfdr.it_max
     it = 0
     dif = max(dif_tol2, 1.0)
     num_comp = len(rx)
+    # inexact outer loop (SURVEY north star, beyond the reference): while
+    # the partition is still changing, full-accuracy reduced solves are
+    # wasted — intermediate solves are capped and a final full-accuracy
+    # polish on the settled partition restores the caller's tolerance
+    # (measured on the EEG-scale bench: ~60% of inner iterations saved at
+    # equal final objective)
+    inexact_on = (opt.inexact == "auto"
+                  and opt.pfdr.it_max > opt.inexact_cap)
+    last_capped = False
+    x_prev2 = x_prev
 
-    while it < opt.it_max and dif >= dif_tol2:
-        x_full = rx[cv]
+    import dataclasses as _dc
 
-        # -- steepest cut (:337-549) ---------------------------------------
-        if a_np is not None:
-            dfs = (a_np.T @ (a_np @ x_full - y_np)).astype(dtype)
-        elif gram_np is not None:
-            dfs = (gram_np @ x_full - y_np).astype(dtype)
-        elif diag_np is not None:
-            dfs = (diag_np * x_full - y_np).astype(dtype)
-        else:
-            dfs = np.array(jax.device_get(
-                _grad_smooth(op, obs_dev, jnp.asarray(x_full))), dtype)
-        _d1_sign_terms(dfs, x_full, eu, ev, la_d1, active)
-        if la_l1 is not None:
-            dfs += np.sign(x_full) * la_l1
-        if duplex and not differentiable and bounds is None:
-            active, n_new = _duplex_cut(
-                dfs, x_full, eu, ev, la_d1, active, la_l1, positivity)
-        else:
-            active, n_new = _steepest_cut(
-                dfs, x_full, eu, ev, la_d1, active, la_l1, positivity, lo,
-                hi, differentiable, min_cut_fn=min_cut_fn)
+    def _pfdr_opt(inner_it_max):
+        if inner_it_max == opt.pfdr.it_max:
+            return opt.pfdr
+        return _dc.replace(opt.pfdr, it_max=inner_it_max)
 
-        if n_new == 0:  # nothing to recompute (:556-563)
-            difs.append(0.0)
-            dif = 0.0
-            it += 1
-            times.append(_time.monotonic() - t0)
-            if monitor:
-                objs.append(objs[-1] if objs else float("nan"))
-            continue
-
-        # -- contraction (:568-661) ----------------------------------------
-        # zero-weight edges (e.g. stencil padding) never join components
-        num_comp, cv = connected_components(num_v, eu, ev,
-                                            ~active & (la_d1 > 0))
-        rg = build_reduced_graph(cv, num_comp, eu, ev, la_d1, active, eps)
-        # warm start: every vertex of a component carries the same previous
-        # value, so any representative seeds the reduced solve (the
-        # reference also warm-starts PFDR with rX, :842-847)
-        rx0 = x_full[component_representatives(cv)]
-
+    def solve_reduced(rg, cv, num_comp, rx0, inner_it_max):
+        """Solves the reduced problem on the current partition through the
+        best available route (small whole-solve kernel / banded whole-solve
+        kernel / host-native f64 / staged device loop); returns the [rV]
+        component values.  ``inner_it_max`` caps the PFDR iterations (the
+        inexact outer-loop schedule passes a cap for intermediate
+        iterations, ``opt.pfdr.it_max`` for final accuracy)."""
+        nonlocal op_dev, pfdr_it_prev, dev_route
+        rx = None
         host_reduce = (use_host and num_comp <= opt.host_small_max
                        and (a_np is not None or gram_np is not None
                             or diag_np is not None))
@@ -595,23 +629,25 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
             if la_l1 is not None:
                 r_la_l1 = np.zeros(rv_cap, dtype)
                 np.add.at(r_la_l1, cv, la_l1)
-                r_la_l1 = jnp.asarray(r_la_l1)
             else:
                 r_la_l1 = None
-            x0_pad = np.zeros(rv_cap, dtype)
-            x0_pad[:num_comp] = rx0
+            # ONE packed upload for all dynamic inputs (each small
+            # host->device transfer pays the full tunnel RPC latency)
+            buf = pack_small_inputs(cv, reu_p, rev_p, rla_p, r_la_l1,
+                                    rx0, inner_it_max, num_comp,
+                                    rv_cap, e_cap, dtype)
             interp = not (jax.default_backend() == "tpu"
                           and dtype == np.float32)
             try:
-                rx_d, it_d = _reduce_solve_small(
-                    op_dev, obs_dev, jnp.asarray(cv), jnp.asarray(reu_p),
-                    jnp.asarray(rev_p), jnp.asarray(rla_p, dtype), r_la_l1,
-                    jnp.asarray(x0_pad), opt.pfdr.it_max, num_comp,
+                out = _reduce_solve_small(
+                    op_dev, obs_dev, jnp.asarray(buf),
                     rv_cap=rv_cap, e_cap=e_cap, kind=red_kind,
                     pre_at=pre_at, np_pad=n_pad, vprox=vprox,
                     rho=float(opt.pfdr.rho),
-                    dif_tol=float(opt.pfdr.dif_tol), interpret=interp)
-                rx_d, it_d = jax.device_get((rx_d, it_d))
+                    dif_tol=float(opt.pfdr.dif_tol),
+                    has_l1=la_l1 is not None, interpret=interp)
+                out = jax.device_get(out)
+                rx_d, it_d = out[:rv_cap], out[rv_cap]
             except Exception as ex:  # noqa: BLE001
                 # the VMEM admission check is an estimate; Mosaic's
                 # allocator is the authority.  A compile failure near the
@@ -663,7 +699,7 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
             res = pfdr_quadratic_d1(
                 r_op, ry, rgraph_b, la_l1=r_la_l1, vprox=vprox,
                 lipsch=lipsch, ltype=Lipsch.DIAG,
-                x0=jnp.asarray(x0_pad), opt=opt.pfdr)
+                x0=jnp.asarray(x0_pad), opt=_pfdr_opt(inner_it_max))
             rx_d, it_d = jax.device_get((res.x, res.it))
             pfdr_it_prev = max(int(it_d), 1)
             rx = np.asarray(rx_d, dtype)[:num_comp]
@@ -697,7 +733,7 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                 lip_diag=np.asarray(lipsch, np.float64),
                 rho=opt.pfdr.rho, cond_min=opt.pfdr.cond_min,
                 dif_rcd=opt.pfdr.dif_rcd, dif_tol=opt.pfdr.dif_tol,
-                it_max=opt.pfdr.it_max, x0=rx0)
+                it_max=inner_it_max, x0=rx0)
             pfdr_it_prev = max(pfdr_it, 1)
             rx = rx_new.astype(dtype)
             solved = True
@@ -742,10 +778,62 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
             res = pfdr_quadratic_d1(
                 r_op, ry, rgraph, la_l1=r_la_l1, vprox=vprox,
                 lipsch=lipsch, ltype=Lipsch.DIAG,
-                x0=jnp.asarray(x0_pad), opt=opt.pfdr)
+                x0=jnp.asarray(x0_pad), opt=_pfdr_opt(inner_it_max))
             pfdr_it_prev = max(int(res.it), 1)
             rx = np.asarray(jax.device_get(res.x), dtype)[:num_comp]
+        return rx
 
+
+    while it < opt.it_max and dif >= dif_tol2:
+        x_full = rx[cv]
+
+        # -- steepest cut (:337-549) ---------------------------------------
+        if a_np is not None:
+            dfs = (a_np.T @ (a_np @ x_full - y_np)).astype(dtype)
+        elif gram_np is not None:
+            dfs = (gram_np @ x_full - y_np).astype(dtype)
+        elif diag_np is not None:
+            dfs = (diag_np * x_full - y_np).astype(dtype)
+        else:
+            dfs = np.array(jax.device_get(
+                _grad_smooth(op, obs_dev, jnp.asarray(x_full))), dtype)
+        _d1_sign_terms(dfs, x_full, eu, ev, la_d1, active)
+        if la_l1 is not None:
+            dfs += np.sign(x_full) * la_l1
+        prof.tick("gradient")
+        if duplex and not differentiable and bounds is None:
+            active, n_new = _duplex_cut(
+                dfs, x_full, eu, ev, la_d1, active, la_l1, positivity)
+        else:
+            active, n_new = _steepest_cut(
+                dfs, x_full, eu, ev, la_d1, active, la_l1, positivity, lo,
+                hi, differentiable, min_cut_fn=min_cut_fn)
+
+        prof.tick("cut")
+        if n_new == 0:  # nothing to recompute (:556-563)
+            difs.append(0.0)
+            dif = 0.0
+            it += 1
+            times.append(_time.monotonic() - t0)
+            if monitor:
+                objs.append(objs[-1] if objs else float("nan"))
+            continue
+
+        # -- contraction (:568-661) ----------------------------------------
+        # zero-weight edges (e.g. stencil padding) never join components
+        num_comp, cv = connected_components(num_v, eu, ev,
+                                            ~active & (la_d1 > 0))
+        rg = build_reduced_graph(cv, num_comp, eu, ev, la_d1, active, eps)
+        # warm start: every vertex of a component carries the same previous
+        # value, so any representative seeds the reduced solve (the
+        # reference also warm-starts PFDR with rX, :842-847)
+        rx0 = x_full[component_representatives(cv)]
+        prof.tick("contract")
+
+        inner_cap = opt.inexact_cap if inexact_on else opt.pfdr.it_max
+        rx = solve_reduced(rg, cv, num_comp, rx0, inner_cap)
+        last_capped = inner_cap < opt.pfdr.it_max
+        prof.tick("reduced-solve")
         # -- merge almost-equal neighboring components (:863-886) ----------
         x_full = rx[cv]
         ae = np.nonzero(active)[0]
@@ -758,6 +846,7 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
             active[ae[rel <= opt.dif_tol]] = False
 
         # -- evolution + objective (:889-975) ------------------------------
+        x_prev2 = x_prev
         delta = x_full - x_prev
         den = float(np.dot(x_full, x_full))
         dif = float(np.dot(delta, delta)) / (den if den > eps else eps)
@@ -766,13 +855,35 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         it += 1
         times.append(_time.monotonic() - t0)
         if monitor:
-            objs.append(float(_objective(op, obs_dev, jnp.asarray(x_full),
-                                         graph, la_l1_dev, la_l1_on)))
+            objs.append(_mon_objective(x_full))
+        prof.tick("merge+trace")
         if opt.verbose:
             print(f"CP it {it}: {num_comp} components, "
                   f"{int(active.sum())} active edges, dif {dif:.3g}, "
                   f"PFDR it {pfdr_it_prev}")
 
+    if last_capped and num_comp == len(rx):
+        # final full-accuracy solve on the settled partition (rx is
+        # already per-component, so it is its own warm start); merge and
+        # the last trace entries are recomputed from the polished values
+        rx = solve_reduced(rg, cv, num_comp, rx, opt.pfdr.it_max)
+        x_full = rx[cv]
+        ae = np.nonzero(active)[0]
+        if len(ae):
+            a = x_full[eu[ae]]
+            b = x_full[ev[ae]]
+            d = np.abs(a - b)
+            amax = np.maximum(np.abs(a), np.abs(b))
+            rel = np.where(amax > eps, d / np.maximum(amax, eps), d / eps)
+            active[ae[rel <= opt.dif_tol]] = False
+        delta = x_full - x_prev2
+        den = float(np.dot(x_full, x_full))
+        difs[-1] = float(np.dot(delta, delta)) / (den if den > eps else eps)
+        times[-1] = _time.monotonic() - t0
+        if monitor:
+            objs[-1] = _mon_objective(x_full)
+        prof.tick("final-polish")
+    prof.report()
     return CPResult(
         cv=cv, rx=rx, it=it,
         time=np.asarray(times),

@@ -220,3 +220,12 @@ def component_representatives(cv: np.ndarray):
     assigned in first-encounter order, so unique() is aligned)."""
     _, first = np.unique(cv, return_index=True)
     return first
+
+
+def np64(x):
+    """Host float64 copy of ``x``.  ``np.asarray(device_array, np.float64)``
+    converts element-wise THROUGH the array protocol (measured 75 s for a
+    91-float fetch over the TPU tunnel); fetching first is a single bulk
+    transfer."""
+    import jax
+    return np.asarray(jax.device_get(x), np.float64)

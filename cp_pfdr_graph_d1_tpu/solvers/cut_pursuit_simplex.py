@@ -24,7 +24,8 @@ import numpy as np
 from .. import maxflow, native
 from ..config import CPOptions
 from ..graph import GraphD1
-from .cut_pursuit_common import (build_reduced_graph, bucket,
+from .cut_pursuit_common import (np64,
+                                 build_reduced_graph, bucket,
                                  connected_components, machine_eps,
                                  make_reduced_container, pad_reduced_graph)
 from .pfdr_simplex import (d1_objective, loss_objective,
@@ -316,9 +317,9 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
         # -- reduced PFDR solve (:773-780) ---------------------------------
         if host_reduce:
             rp_new, _ = native.pfdr_loss_d1_simplex_host(
-                np.asarray(rq, np.float64), al, rg.eu, rg.ev,
-                np.asarray(rg.la_d1, np.float64),
-                la_f=(np.asarray(rla_f, np.float64)
+                np64(rq), al, rg.eu, rg.ev,
+                np64(rg.la_d1),
+                la_f=(np64(rla_f)
                       if rla_f is not None else None),
                 rho=opt.pfdr.rho, cond_min=opt.pfdr.cond_min,
                 dif_rcd=opt.pfdr.dif_rcd, dif_tol=opt.pfdr.dif_tol,

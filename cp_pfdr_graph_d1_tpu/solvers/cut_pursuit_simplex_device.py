@@ -38,6 +38,7 @@ import numpy as np
 
 from .. import maxflow
 from ..config import CPOptions
+from .cut_pursuit_common import np64
 from ..graph import GraphD1
 from ..maxflow.device import _pdhg_min_cut
 from .cut_pursuit_common import bucket, machine_eps, make_reduced_container
@@ -333,7 +334,7 @@ def _host_expansion_fallback(graph: GraphD1, dfs, rdi, cv, active, eps):
         np.asarray(jax.device_get(rdi)),
         np.asarray(jax.device_get(cv)),
         np.asarray(graph.eu), np.asarray(graph.ev),
-        np.asarray(graph.la_d1, np.float64),
+        np64(graph.la_d1),
         np.asarray(jax.device_get(active)), float(eps),
         min_cut_fn=maxflow.min_cut)
     return jnp.asarray(djv.astype(np.int32))

@@ -17,7 +17,23 @@ from cp_pfdr_graph_d1_tpu.graph import GraphD1
 from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import (_reduce_diag,
                                                       _reduce_dense,
                                                       _reduce_gram,
-                                                      _reduce_solve_small)
+                                                      _reduce_solve_small,
+                                                      pack_small_inputs)
+
+
+def run_small(op_arr, obs, cv, reu, rev, rla, r_la_l1, x0, it_max, rv, *,
+              rv_cap, e_cap, kind, pre_at, np_pad, vprox, rho, dif_tol,
+              interpret):
+    buf = pack_small_inputs(np.asarray(cv), np.asarray(reu),
+                            np.asarray(rev), np.asarray(rla),
+                            None if r_la_l1 is None else np.asarray(r_la_l1),
+                            np.asarray(x0), it_max, rv, rv_cap, e_cap,
+                            np.asarray(obs).dtype)
+    out = np.asarray(_reduce_solve_small(
+        op_arr, obs, jnp.asarray(buf), rv_cap=rv_cap, e_cap=e_cap,
+        kind=kind, pre_at=pre_at, np_pad=np_pad, vprox=vprox, rho=rho,
+        dif_tol=dif_tol, has_l1=r_la_l1 is not None, interpret=interpret))
+    return out[:rv_cap], int(out[rv_cap])
 
 
 def ring_problem(v=128, n=24, seed=0, dtype=np.float32):
@@ -64,11 +80,8 @@ def test_small_solve_matches_staged(mode, vkind):
         obs = jnp.asarray(y)
         kind, pre_at = "dense", mode == "pre_at"
 
-    x_small, it_small = _reduce_solve_small(
-        op_arr, obs, jnp.asarray(cv), jnp.asarray(eu), jnp.asarray(ev),
-        jnp.asarray(la),
-        None if la_l1 is None else jnp.asarray(la_l1),
-        jnp.zeros(v, dtype), it_max, v,
+    x_small, it_small = run_small(
+        op_arr, obs, cv, eu, ev, la, la_l1, np.zeros(v, dtype), it_max, v,
         rv_cap=128, e_cap=128, kind=kind, pre_at=pre_at, np_pad=128,
         vprox=vprox, rho=1.4, dif_tol=0.0, interpret=True)
     x_small = np.asarray(x_small)
@@ -119,10 +132,9 @@ def test_small_solve_early_stop_and_padding():
     la_l1 = np.full(128, 0.02, dtype)
     vprox = VertexProx(kind="l1", positivity=True)
 
-    x_small, it_small = _reduce_solve_small(
-        jnp.asarray(a), jnp.asarray(y), jnp.asarray(cv),
-        jnp.asarray(reu_p), jnp.asarray(rev_p), jnp.asarray(rla_p),
-        jnp.asarray(la_l1), jnp.zeros(128, dtype), 2000, rv,
+    x_small, it_small = run_small(
+        jnp.asarray(a), jnp.asarray(y), cv, reu_p, rev_p, rla_p,
+        la_l1, np.zeros(128, dtype), 2000, rv,
         rv_cap=128, e_cap=e_cap, kind="dense", pre_at=False, np_pad=128,
         vprox=vprox, rho=1.4, dif_tol=1e-4, interpret=True)
     x_small = np.asarray(x_small)
