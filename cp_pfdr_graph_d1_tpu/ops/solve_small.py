@@ -79,6 +79,20 @@ def _kernel(itm_ref, m_ref, opa_ref, opb_ref, aty_ref, ga_ref, thl1_ref,
     wdv = ec_ref[3:4, :]
     thd = ec_ref[4:5, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, rv_cap), 1)
+    # f32 one-hot dots: M's entries are 0/1 (exact in bf16), so splitting
+    # the VALUE side into three exactly-bf16-representable f32 terms and
+    # contracting in ONE default-precision dot replaces the 6-pass HIGHEST
+    # dot losslessly (hi+mid+lo reconstructs each f32 exactly; validated
+    # bit-level on real MXU hardware by tests/tpu_numerics_main.py).  The
+    # stacked rows stay <= 8, i.e. within one MXU sublane tile - the
+    # single pass costs the same as ONE of the six HIGHEST passes.
+    use_split = dt == jnp.float32
+
+    def split3(vals):
+        v_hi = vals.astype(jnp.bfloat16).astype(dt)
+        r1 = vals - v_hi
+        v_mid = r1.astype(jnp.bfloat16).astype(dt)
+        return jnp.concatenate([v_hi, v_mid, r1 - v_mid], axis=0)
 
     def cond(c):
         it, dif = c
@@ -103,8 +117,13 @@ def _kernel(itm_ref, m_ref, opa_ref, opb_ref, aty_ref, ga_ref, thl1_ref,
         p = 2.0 * x - ga_ref[:] * grad
         # both endpoints of both fields in one dot: [2, RV] @ [RV, 2E]
         px = jnp.concatenate([p, x], axis=0)
-        gath = jnp.dot(px, m_ref[:], preferred_element_type=dt,
-                       precision=HI)                        # [2, 2E]
+        if use_split:
+            g6 = jnp.dot(split3(px), m_ref[:],
+                         preferred_element_type=dt)         # [6, 2E]
+            gath = g6[0:2] + g6[2:4] + g6[4:6]
+        else:
+            gath = jnp.dot(px, m_ref[:], preferred_element_type=dt,
+                           precision=HI)                    # [2, 2E]
         pu = gath[0:1, :e_pad]
         pv = gath[0:1, e_pad:]
         xu = gath[1:2, :e_pad]
@@ -124,9 +143,16 @@ def _kernel(itm_ref, m_ref, opa_ref, opb_ref, aty_ref, ga_ref, thl1_ref,
         # weighted edge->vertex accumulation (:491-497): contract the edge
         # axis of the SAME selection matrix
         wz = jnp.concatenate([wu * zu, wv * zv], axis=1)    # [1, 2E]
-        a = jax.lax.dot_general(
-            wz, m_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=dt, precision=HI)        # [1, RV]
+        if use_split:
+            a3 = jax.lax.dot_general(
+                split3(wz), m_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dt)                  # [3, RV]
+            a = a3[0:1] + a3[1:2] + a3[2:3]
+        else:
+            a = jax.lax.dot_general(
+                wz, m_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dt, precision=HI)    # [1, RV]
         # vertex prox (:499-512)
         if vkind == "l1":
             xn = jnp.maximum(a - thl1_ref[:], 0)

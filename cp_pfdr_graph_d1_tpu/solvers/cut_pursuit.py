@@ -640,7 +640,7 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                           and dtype == np.float32)
             try:
                 out = _reduce_solve_small(
-                    op_dev, obs_dev, jnp.asarray(buf),
+                    op_dev, obs_dev, buf,
                     rv_cap=rv_cap, e_cap=e_cap, kind=red_kind,
                     pre_at=pre_at, np_pad=n_pad, vprox=vprox,
                     rho=float(opt.pfdr.rho),
