@@ -70,7 +70,7 @@ class PFDRState(NamedTuple):
 class PFDRResult(NamedTuple):
     x: jax.Array
     it: jax.Array
-    obj: jax.Array   # [it_max + 1]; entries beyond ``it`` are garbage
+    obj: jax.Array   # [it_max + 1]; entries beyond ``it`` are zero
     dif: jax.Array   # [it_max]
 
 
@@ -382,6 +382,21 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         # monitor / verbose / resume): the ENTIRE iteration loop runs
         # inside one kernel with all state VMEM-resident — zero dispatch
         # and op-launch overhead per iteration (:mod:`..ops.solve_fused`)
+        whole_blocked = (opt.fused != "off"
+                         and (monitor or opt.verbose != 0
+                              or opt.dif_rcd != 0)
+                         and _whole_solve_kind(op, graph) is not None)
+        if whole_blocked:
+            # the staged loop computes the SAME per-iteration update, but
+            # dispatches ~20 ops/iteration instead of one kernel — make
+            # the path switch loud so traced timings are not mistaken for
+            # production performance (monitoring contract, SURVEY §2.5)
+            import warnings
+            warnings.warn(
+                "monitor/verbose/dif_rcd forces the staged PFDR loop; "
+                "production (unmonitored) runs use the one-kernel "
+                "whole-solve path, which is faster — do not compare "
+                "timings across the two", RuntimeWarning, stacklevel=2)
         if (opt.fused != "off" and opt.dif_rcd == 0 and not monitor
                 and opt.verbose == 0):
             whole_kind = _whole_solve_kind(op, graph)
@@ -536,10 +551,17 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
 
     s = jax.lax.while_loop(cond, body, state)
     obj_trace = s.obj_trace
+    dif_trace = s.dif_trace
     if monitor:
         obj_trace = obj_trace.at[s.it].set(
             _full_obj(op, s.x, obs, graph, la_l1, vprox))
-    res = PFDRResult(x=s.x, it=s.it, obj=obj_trace, dif=s.dif_trace)
+        # trace hygiene: entries beyond the final iteration are ZERO, not
+        # stale loop residue (the fixed-capacity arrays are an XLA
+        # static-shape requirement; callers may still slice to it)
+        idx = jnp.arange(obj_trace.shape[0])
+        obj_trace = jnp.where(idx <= s.it, obj_trace, 0)
+        dif_trace = jnp.where(idx[:dif_trace.shape[0]] < s.it, dif_trace, 0)
+    res = PFDRResult(x=s.x, it=s.it, obj=obj_trace, dif=dif_trace)
     if return_state:
         return res, PFDRSolveState(x=s.x, zu=s.zu, zv=s.zv, pre=s.pre,
                                    x_prev=s.x_prev, dif=s.dif,

@@ -302,6 +302,16 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
     # monitor / verbose / resume — those run the staged path, which
     # computes the same update): ~30 XLA dispatches per iteration collapse
     # into one kernel
+    if (opt.fused != "off"
+            and (monitor or opt.verbose != 0 or opt.dif_rcd != 0)
+            and state0 is None and not return_state
+            and getattr(graph, "supports_fused", False)):
+        import warnings
+        warnings.warn(
+            "monitor/verbose/dif_rcd forces the staged simplex PFDR loop; "
+            "production (unmonitored) runs use the fused whole-iteration "
+            "kernel, which is faster — do not compare timings across the "
+            "two", RuntimeWarning, stacklevel=2)
     if (opt.fused != "off" and opt.dif_rcd == 0 and not monitor
             and opt.verbose == 0 and state0 is None and not return_state
             and getattr(graph, "supports_fused", False)):
@@ -410,11 +420,16 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
 
     s = jax.lax.while_loop(cond, body, state)
     obj_trace = s.obj_trace
+    dif_trace = s.dif_trace
     if monitor:
         obj_trace = obj_trace.at[s.it].set(
             graph.vertex_allsum(loss_pervertex(al, s.p, q, laf))
             + d1_objective(graph, s.p))
-    res = SimplexResult(p=s.p, it=s.it, obj=obj_trace, dif=s.dif_trace)
+        # trace hygiene: entries beyond the final iteration are zero
+        idx = jnp.arange(obj_trace.shape[0])
+        obj_trace = jnp.where(idx <= s.it, obj_trace, 0)
+        dif_trace = jnp.where(idx[:dif_trace.shape[0]] < s.it, dif_trace, 0)
+    res = SimplexResult(p=s.p, it=s.it, obj=obj_trace, dif=dif_trace)
     if return_state:
         return res, SimplexSolveState(p=s.p, zu=s.zu, zv=s.zv, pre=s.pre,
                                       prev=s.prev, dif=s.dif,

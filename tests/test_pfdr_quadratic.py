@@ -235,3 +235,40 @@ def test_verbose_progress_prints_from_jitted_loop(capsys):
     assert "PFDR iteration 20 (max. 25)" in out
     assert "relative evolution" in out
     assert int(res.it) == 25
+
+
+def test_monitored_run_warns_on_staged_switch():
+    """Monitoring forces the staged loop when the whole-solve kernel would
+    otherwise run; the switch must be loud (monitoring contract, SURVEY
+    §2.5) and the traces must carry no garbage tails."""
+    import warnings
+
+    from cp_pfdr_graph_d1_tpu.banded_graph import BandedGraphD1
+
+    r = np.random.default_rng(0)
+    v = 256
+    eu = np.arange(v - 1, dtype=np.int32)
+    ev = eu + 1
+    la = np.full(v - 1, 0.2, np.float32)
+    a = (r.standard_normal((16, v)) / 4).astype(np.float32)
+    y = r.standard_normal(16).astype(np.float32)
+    g = BandedGraphD1.create(eu, ev, la, num_vertices=v,
+                             dtype=jnp.float32, round_wd8=True)
+    lip = float(np.linalg.eigvalsh((a @ a.T).astype(np.float64))[-1])
+    opt = PFDROptions(rho=1.5, dif_tol=1e-6, it_max=50, fused="on")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = pfdr_quadratic_d1(
+            DenseOp(jnp.asarray(a)), jnp.asarray(y), g,
+            la_l1=jnp.full((v,), 0.01, jnp.float32),
+            vprox=VertexProx(kind="l1", positivity=True), lipsch=lip,
+            opt=opt, monitor=True)
+    assert any("staged PFDR loop" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
+    # trace hygiene: tails beyond it are zero, not loop residue
+    it = int(res.it)
+    obj = np.asarray(res.obj)
+    dif = np.asarray(res.dif)
+    assert np.all(obj[it + 1:] == 0)
+    assert np.all(dif[it:] == 0)
+    assert np.all(obj[:it + 1] != 0)
