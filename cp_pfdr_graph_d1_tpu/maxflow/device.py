@@ -47,8 +47,16 @@ _THRESHOLDS = 15   # cut candidates per certificate check (coarea levels)
 
 
 @partial(jax.jit, static_argnames=("it_max", "check_every"))
-def _pdhg_min_cut(graph: GraphD1, w, c, tol, it_max: int, check_every: int):
-    """Jitted PDHG loop; returns (side [V] bool, gap, iterations)."""
+def _pdhg_min_cut(graph: GraphD1, w, c, tol, it_max: int, check_every: int,
+                  x0=None, z0=None):
+    """Jitted PDHG loop; returns (side [V] bool, gap, iterations, x, z).
+
+    ``x0``/``z0`` warm-start the primal/dual state (e.g. from the previous
+    cut-pursuit iteration's cut on the same graph — the reference reuses
+    its BK graph across iterations the same way,
+    ``/root/reference/include/graph.hpp:280``); the duality-gap
+    certificate is computed fresh for the given capacities, so a warm
+    start can only save iterations, never certify a stale cut."""
     dtype = w.dtype
     v = graph.num_vertices
 
@@ -98,11 +106,14 @@ def _pdhg_min_cut(graph: GraphD1, w, c, tol, it_max: int, check_every: int):
         primal, dual, t_best = gap_state(x, z)
         return x, xb, z, it + check_every, primal - dual, t_best
 
-    x0 = jnp.full((v,), 0.5, dtype)
-    state = (x0, x0, jnp.zeros_like(w), jnp.asarray(0),
+    if x0 is None:
+        x0 = jnp.full((v,), 0.5, dtype)
+    if z0 is None:
+        z0 = jnp.zeros_like(w)
+    state = (x0, x0, z0, jnp.asarray(0),
              jnp.asarray(jnp.inf, dtype), ts[0])
     x, _, z, it, gap, t_best = jax.lax.while_loop(cond, body, state)
-    return x > t_best, gap, it
+    return x > t_best, gap, it, x, z
 
 
 def min_cut_device(num_vertices: int, eu, ev, w, c, *,
@@ -133,10 +144,10 @@ def min_cut_device(num_vertices: int, eu, ev, w, c, *,
         graph = GraphD1.create(eu, ev, w, num_vertices=num_vertices,
                                dtype=dtype)
     scale = max(big, 1.0)
-    side, gap, it = _pdhg_min_cut(graph, jnp.asarray(w, dtype),
-                                  jnp.asarray(c, dtype),
-                                  jnp.asarray(tol * scale, dtype),
-                                  it_max, check_every)
+    side, gap, it, _, _ = _pdhg_min_cut(graph, jnp.asarray(w, dtype),
+                                        jnp.asarray(c, dtype),
+                                        jnp.asarray(tol * scale, dtype),
+                                        it_max, check_every)
     side = np.asarray(jax.device_get(side)).astype(np.uint8)
     gap = float(gap)
     certified = gap <= tol * scale
@@ -272,7 +283,8 @@ def min_cut_directed_device(num_vertices: int, eu, ev, w_uv, w_vu, c, *,
 
 @partial(jax.jit, static_argnames=("it_max", "check_every"))
 def _pdhg_min_cut_duplex(graph: GraphD1, w, c1, c2, m, tol,
-                         it_max: int, check_every: int):
+                         it_max: int, check_every: int,
+                         x0=None, z0=None, zv0=None):
     """Container-aware two-layer (duplex) ternary cut: the relaxation of
     the reference's 2V-node graph (``CP_PFDR_graph_quadratic_d1_l1_duplex
     .cpp:88-115,470-545``) with the layers as a trailing axis — d1 weights
@@ -338,12 +350,16 @@ def _pdhg_min_cut_duplex(graph: GraphD1, w, c1, c2, m, tol,
         primal, dual, t_best = gap_state(x, z, zv)
         return x, xb, z, zv, it + check_every, primal - dual, t_best
 
-    x0 = jnp.full((v, 2), 0.5, dtype)
-    state = (x0, x0, jnp.zeros((graph.num_edges, 2), dtype),
-             jnp.zeros((v,), dtype), jnp.asarray(0),
+    if x0 is None:
+        x0 = jnp.full((v, 2), 0.5, dtype)
+    if z0 is None:
+        z0 = jnp.zeros((graph.num_edges, 2), dtype)
+    if zv0 is None:
+        zv0 = jnp.zeros((v,), dtype)
+    state = (x0, x0, z0, zv0, jnp.asarray(0),
              jnp.asarray(jnp.inf, dtype), ts[0])
     x, _, z, zv, it, gap, t_best = jax.lax.while_loop(cond, body, state)
-    return x > t_best, gap, it
+    return x > t_best, gap, it, x, z, zv
 
 
 def cut_value(eu, ev, w, c, side) -> float:

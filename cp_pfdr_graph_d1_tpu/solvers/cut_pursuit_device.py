@@ -116,7 +116,8 @@ def _duplex_costs(op: QuadOp, obs, graph: GraphD1, x, active, la_l1, *,
 
 @partial(jax.jit, static_argnames=("it_max", "check_every"))
 def _device_cut_duplex(graph: GraphD1, active, c1, c2, m, tol,
-                       it_max: int, check_every: int):
+                       it_max: int, check_every: int,
+                       x0=None, z0=None, zv0=None):
     """One duplex ternary cut on the standing graph; returns (separation
     mask over edges — separated on either layer —, duality gap, scale)."""
     from ..maxflow.device import _pdhg_min_cut_duplex
@@ -129,29 +130,32 @@ def _device_cut_duplex(graph: GraphD1, active, c1, c2, m, tol,
                        + jnp.sum(m))
     c1c = jnp.clip(jnp.where(jnp.isfinite(c1), c1, big), -big, big)
     c2c = jnp.clip(jnp.where(jnp.isfinite(c2), c2, big), -big, big)
-    side, gap, _ = _pdhg_min_cut_duplex(
+    side, gap, _, x, z, zv = _pdhg_min_cut_duplex(
         graph, w, c1c.astype(w.dtype), c2c.astype(w.dtype),
         m.astype(w.dtype), (tol * big).astype(w.dtype), it_max,
-        check_every)
+        check_every, x0, z0, zv0)
     su, sv = graph.gather_endpoints(side)              # [E, 2]
     sep = jnp.any(su != sv, axis=1) & ~active & (graph.la_d1 > 0)
-    return sep, gap, big
+    return sep, gap, big, x, z, zv
 
 
 @partial(jax.jit, static_argnames=("it_max", "check_every"))
 def _device_cut(graph: GraphD1, active, c, tol, it_max: int,
-                check_every: int):
+                check_every: int, x0=None, z0=None):
     """One steepest cut on the standing graph (active edges weight-masked
-    out); returns (separation mask over edges, duality gap)."""
+    out); returns (separation mask over edges, duality gap, scale, and the
+    relaxed (x, z) state for warm-starting the next iteration's cut — the
+    reference's analog is reusing its BK graph across CP iterations,
+    ``/root/reference/include/graph.hpp:280``)."""
     w = jnp.where(active, 0.0, graph.la_d1)
     big = 1.0 + 2.0 * (jnp.sum(w) + jnp.sum(jnp.where(
         jnp.isfinite(c), jnp.abs(c), 0.0)))
     c_cl = jnp.clip(jnp.where(jnp.isfinite(c), c, big), -big, big)
-    side, gap, _ = _pdhg_min_cut(graph, w, c_cl.astype(w.dtype),
-                                 (tol * big).astype(w.dtype), it_max,
-                                 check_every)
+    side, gap, _, x, z = _pdhg_min_cut(graph, w, c_cl.astype(w.dtype),
+                                       (tol * big).astype(w.dtype), it_max,
+                                       check_every, x0, z0)
     su, sv = graph.gather_endpoints(side)
-    return (su != sv) & ~active & (graph.la_d1 > 0), gap, big
+    return (su != sv) & ~active & (graph.la_d1 > 0), gap, big, x, z
 
 
 @jax.jit
@@ -395,6 +399,8 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
     num_comp = 1
 
     use_duplex = duplex and not differentiable and bounds is None
+    # warm-start carries for the PDHG cuts (per direction / layer)
+    cut1_x = cut1_z = cut2_x = cut2_z = dup_zv = None
     while it < opt.it_max and dif >= dif_tol2:
         # -- steepest cut, on device (:337-549; duplex :470-545) ------------
         chk = min(250, opt.cut_it_max)
@@ -403,9 +409,9 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
                 op, obs_dev, graph, x_full, active, la_l1_dev,
                 has_l1=has_l1, positivity=positivity)
             _dbg("duplex_costs", d_c1, d_c2)
-            sep, gap1, big1 = _device_cut_duplex(
+            sep, gap1, big1, cut1_x, cut1_z, dup_zv = _device_cut_duplex(
                 graph, active, d_c1, d_c2, d_m, opt.cut_tol,
-                opt.cut_it_max, chk)
+                opt.cut_it_max, chk, cut1_x, cut1_z, dup_zv)
             certified = float(gap1) <= opt.cut_tol * float(big1)
             if not certified:
                 warnings.warn("falling back to the host min-cut solver "
@@ -418,13 +424,14 @@ def cp_quadratic_d1_device(op: QuadOp, obs, graph: GraphD1, *,
                 hi=hi, differentiable=differentiable, has_l1=has_l1,
                 positivity=positivity)
             _dbg("direction_costs", c1, c2)
-            sep, gap1, big1 = _device_cut(graph, active, c1, opt.cut_tol,
-                                          opt.cut_it_max, chk)
+            sep, gap1, big1, cut1_x, cut1_z = _device_cut(
+                graph, active, c1, opt.cut_tol, opt.cut_it_max, chk,
+                cut1_x, cut1_z)
             certified = float(gap1) <= opt.cut_tol * float(big1)
             if not differentiable:
-                sep2, gap2, big2 = _device_cut(graph, active, c2,
-                                               opt.cut_tol,
-                                               opt.cut_it_max, chk)
+                sep2, gap2, big2, cut2_x, cut2_z = _device_cut(
+                    graph, active, c2, opt.cut_tol, opt.cut_it_max, chk,
+                    cut2_x, cut2_z)
                 certified &= float(gap2) <= opt.cut_tol * float(big2)
                 sep = sep | sep2
             if not certified:

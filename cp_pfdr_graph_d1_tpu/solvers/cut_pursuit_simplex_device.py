@@ -93,14 +93,17 @@ def _expansion_capacities(graph: GraphD1, dfs, i_of_v, djv, active, n: int):
 
 
 @partial(jax.jit, static_argnames=("it_max", "check_every"))
-def _device_side(graph: GraphD1, w, c, tol, it_max: int, check_every: int):
-    """One certified PDHG min-cut; returns (side, gap, cost scale)."""
+def _device_side(graph: GraphD1, w, c, tol, it_max: int, check_every: int,
+                 x0=None, z0=None):
+    """One certified PDHG min-cut; returns (side, gap, cost scale, and
+    the relaxed (x, z) state — warm-start for the SAME label's expansion
+    cut of the next CP iteration)."""
     big = 1.0 + 2.0 * (jnp.sum(w) + jnp.sum(jnp.abs(c)))
     c_cl = jnp.clip(c, -big, big)
-    side, gap, _ = _pdhg_min_cut(graph, w, c_cl.astype(w.dtype),
-                                 (tol * big).astype(w.dtype), it_max,
-                                 check_every)
-    return side, gap, big
+    side, gap, _, x, z = _pdhg_min_cut(graph, w, c_cl.astype(w.dtype),
+                                       (tol * big).astype(w.dtype), it_max,
+                                       check_every, x0, z0)
+    return side, gap, big, x, z
 
 
 @partial(jax.jit, static_argnames=("rv_cap",))
@@ -203,6 +206,7 @@ def cp_loss_d1_simplex_device(graph: GraphD1, q, *, al: float,
     num_comp = rp_dev.shape[0]
     chk = min(250, opt.cut_it_max)
 
+    cut_carry = {}
     while it < opt.it_max and dif >= opt.dif_tol:
         p_full = rp_dev[cv]
 
@@ -223,8 +227,11 @@ def cp_loss_d1_simplex_device(graph: GraphD1, q, *, al: float,
         for n in range(1, k):
             w, theta = _expansion_capacities(graph, dfs, i_of_v, djv,
                                              active, n)
-            side, gap, big = _device_side(graph, w, theta, opt.cut_tol,
-                                          opt.cut_it_max, chk)
+            x0n, z0n = cut_carry.get(n, (None, None))
+            side, gap, big, xn, zn = _device_side(
+                graph, w, theta, opt.cut_tol, opt.cut_it_max, chk,
+                x0n, z0n)
+            cut_carry[n] = (xn, zn)
             gaps.append(jnp.stack([gap, big]))
             djv = jnp.where(side, jnp.int32(n), djv)
         certs = np.asarray(jax.device_get(jnp.stack(gaps)))
