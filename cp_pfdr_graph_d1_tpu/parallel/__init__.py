@@ -1,3 +1,4 @@
+from .cp_sharded import cp_quadratic_d1_sharded
 from .cp_dist import (cp_loss_d1_simplex_dist, cp_quadratic_d1_dist,
                       shard_cp_quadratic_problem)
 from .dp import (DistDenseOp, ShardedQuadraticProblem,

@@ -5,11 +5,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cp_pfdr_graph_d1_tpu import (DenseOp, GraphD1, PFDROptions, VertexProx)
+from cp_pfdr_graph_d1_tpu import (CPOptions, DenseOp, GraphD1,
+                                  PFDROptions, VertexProx)
 from cp_pfdr_graph_d1_tpu.parallel import (make_mesh,
                                            pfdr_quadratic_d1_sharded,
                                            shard_quadratic_problem)
 from cp_pfdr_graph_d1_tpu.solvers.pfdr_quadratic import pfdr_quadratic_d1
+from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
 
 from .conftest import make_grid_graph
 
@@ -398,3 +400,75 @@ def test_cp_simplex_device_obs_matches_host_obs():
     np.testing.assert_array_equal(a_.cv, b_.cv)
     np.testing.assert_allclose(np.asarray(a_.rp), np.asarray(b_.rp),
                                atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# sharded-graph device cut-pursuit (parallel/cp_sharded.py)
+# ---------------------------------------------------------------------------
+
+def _tv_grid_problem(side, seed=3):
+    r = np.random.default_rng(seed)
+    x_true = np.zeros((side, side), np.float32)
+    x_true[side // 8:3 * side // 8, side // 6:side // 2] = 1.2
+    x_true[5 * side // 8:7 * side // 8, side // 2:7 * side // 8] = 0.7
+    y = (x_true + 0.1 * r.standard_normal((side, side))
+         ).astype(np.float32).ravel()
+    graph = StencilGraphD1.create((side, side), {(0, 1): 0.3, (1, 0): 0.3},
+                                  dtype=jnp.float32)
+    return y, graph
+
+
+def test_cp_sharded_identity_matches_single_device():
+    """Sharded-graph device cut-pursuit (PDHG cuts + pointer-jumping
+    components under shard_map, host boundary merge) must reproduce the
+    single-device device-CP partition bit-for-bit and the values to f32
+    tolerance (SURVEY §5 scale capstone)."""
+    from cp_pfdr_graph_d1_tpu import IdentityOp
+    from cp_pfdr_graph_d1_tpu.parallel import cp_quadratic_d1_sharded
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+
+    y, graph = _tv_grid_problem(64)
+    pf = PFDROptions(rho=1.8, dif_tol=1e-6, it_max=2000)
+    kw = dict(dif_tol=1e-4, it_max=5, pfdr=pf, cut_tol=1e-6,
+              cut_it_max=100_000, inexact="off")
+    mesh = make_mesh(8)
+    res_s = cp_quadratic_d1_sharded(y, graph, mesh, opt=CPOptions(**kw))
+    res_1 = cp_quadratic_d1(IdentityOp(), jnp.asarray(y), graph,
+                            opt=CPOptions(**kw, cut="device"))
+    np.testing.assert_array_equal(np.asarray(res_s.cv),
+                                  np.asarray(res_1.cv))
+    np.testing.assert_allclose(res_s.rx, np.asarray(res_1.rx), atol=2e-5)
+
+
+def test_cp_sharded_dense_matches_single_device():
+    """Dense-operator mode: the gradient runs column-sharded (psum); the
+    partition must match the single-device device-CP solve."""
+    from cp_pfdr_graph_d1_tpu import DenseOp
+    from cp_pfdr_graph_d1_tpu.parallel import cp_quadratic_d1_sharded
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+
+    side, n_obs = 48, 32
+    v = side * side
+    r = np.random.default_rng(9)
+    a = (r.standard_normal((n_obs, v)) / np.sqrt(n_obs)).astype(np.float32)
+    x_true = np.zeros((side, side), np.float32)
+    x_true[8:20, 10:26] = 1.5
+    y = (a @ x_true.ravel()
+         + 0.02 * r.standard_normal(n_obs)).astype(np.float32)
+    la_l1 = np.full(v, 0.01, np.float32)
+    graph = StencilGraphD1.create((side, side), {(0, 1): 0.05, (1, 0): 0.05},
+                                  dtype=jnp.float32)
+    pf = PFDROptions(rho=1.5, dif_tol=1e-6, it_max=3000)
+    kw = dict(dif_tol=1e-4, it_max=5, pfdr=pf, cut_tol=1e-6,
+              cut_it_max=100_000, inexact="off")
+    mesh = make_mesh(8)
+    res_s = cp_quadratic_d1_sharded(y, graph, mesh, a=a, la_l1=la_l1,
+                                    positivity=True, opt=CPOptions(**kw))
+    res_1 = cp_quadratic_d1(DenseOp(jnp.asarray(a)), jnp.asarray(y), graph,
+                            la_l1=la_l1, positivity=True,
+                            opt=CPOptions(**kw, cut="device"))
+    np.testing.assert_array_equal(np.asarray(res_s.cv),
+                                  np.asarray(res_1.cv))
+    x_s = res_s.rx[res_s.cv]
+    x_1 = np.asarray(res_1.rx)[np.asarray(res_1.cv)]
+    np.testing.assert_allclose(x_s, x_1, atol=5e-4)
