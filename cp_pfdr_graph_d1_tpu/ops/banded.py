@@ -143,22 +143,53 @@ def build_banded_plan(eu, ev, num_vertices: int, tile: int = 1024,
 # -- kernel helpers ----------------------------------------------------------
 
 
-def _unpack(dense, pack_rows, lanesel):
-    """[T8, 128] dense edge-major -> [T, 1] column (exact one-hot dots)."""
-    c = jax.lax.dot_general(pack_rows.astype(dense.dtype), dense,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=dense.dtype,
-                            precision=HI)              # [T, 128]
-    return jnp.sum(c * lanesel.astype(dense.dtype), axis=1,
-                   keepdims=True)                       # [T, 1]
+def _split3(vals, axis=0):
+    """3-term exactly-bf16-representable f32 decomposition: contracting the
+    stacked terms against a one-hot (0/1, bf16-exact) selector in ONE
+    default-precision dot replaces the 6-pass HIGHEST dot losslessly
+    (hi+mid+lo reconstructs every f32; validated on real MXU hardware by
+    tests/tpu_numerics_main.py via the solve kernels)."""
+    v_hi = vals.astype(jnp.bfloat16).astype(vals.dtype)
+    r1 = vals - v_hi
+    v_mid = r1.astype(jnp.bfloat16).astype(vals.dtype)
+    return jnp.concatenate([v_hi, v_mid, r1 - v_mid], axis=axis)
+
+
+def _use_split(dt) -> bool:
+    return dt == jnp.float32
+
+
+def _unpack(dense, pack_rows, lanesel, exact: bool = False):
+    """[T8, 128] dense edge-major -> [T, 1] column (exact one-hot dots).
+
+    ``exact=True`` marks values already exactly representable in bf16
+    (small integer index blocks): the dot runs single-pass DEFAULT
+    precision outright.  General f32 values go through the split3
+    single-pass decomposition (or 6-pass HIGHEST off-f32)."""
+    dt = dense.dtype
+    if exact or not _use_split(dt):
+        prec = None if exact else HI
+        c = jax.lax.dot_general(pack_rows.astype(dt), dense,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=dt, precision=prec)
+    else:
+        pr3 = jnp.concatenate([pack_rows.astype(dt)] * 3, axis=0)
+        c = jax.lax.dot_general(pr3, _split3(dense, axis=0),
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=dt)
+    return jnp.sum(c * lanesel.astype(dt), axis=1, keepdims=True)  # [T, 1]
 
 
 def _pack(col, pack_rows, lanesel):
     """[T, 1] column -> [T8, 128] dense edge-major."""
-    return jnp.dot(pack_rows.astype(col.dtype),
-                   col * lanesel.astype(col.dtype),
-                   preferred_element_type=col.dtype,
-                   precision=HI)                        # [T8, 128]
+    dt = col.dtype
+    d = col * lanesel.astype(dt)                        # [T, 128]
+    if _use_split(dt):
+        pr3 = jnp.concatenate([pack_rows.astype(dt)] * 3, axis=1)
+        return jnp.dot(pr3, _split3(d, axis=0),
+                       preferred_element_type=dt)       # [T8, 128]
+    return jnp.dot(pack_rows.astype(dt), d,
+                   preferred_element_type=dt, precision=HI)
 
 
 def _selectors(tile: int):
@@ -172,10 +203,37 @@ def _selectors(tile: int):
     return pack_rows, lanesel
 
 
+def _gather_rows(rsel, win):
+    """rsel [T, Wd8] one-hot @ win [Wd8, 128] — split3 single-pass on f32."""
+    dt = win.dtype
+    if _use_split(dt):
+        rs3 = jnp.concatenate([rsel.astype(dt)] * 3, axis=1)
+        return jnp.dot(rs3, _split3(win, axis=0), preferred_element_type=dt)
+    return jnp.dot(rsel.astype(dt), win, preferred_element_type=dt,
+                   precision=HI)
+
+
+def _scatter_rows(rsel, d):
+    """rsel^T [Wd8, T] @ d [T, 128] (contracting T) — split3 on f32."""
+    dt = d.dtype
+    if _use_split(dt):
+        rs3 = jnp.concatenate([rsel.astype(dt)] * 3, axis=0)
+        return jax.lax.dot_general(rs3, _split3(d, axis=0),
+                                   dimension_numbers=(((0,), (0,)),
+                                                      ((), ())),
+                                   preferred_element_type=dt)
+    return jax.lax.dot_general(rsel.astype(dt), d,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=dt, precision=HI)
+
+
 def _endpoint_sel(lr_ref, ll_ref, tile, wd8, pack_rows, lanesel):
     """Builds (rsel [T, Wd8], lsel [T, 128]) from dense index blocks."""
-    lr = _unpack(lr_ref[:], pack_rows, lanesel)   # [T, 1] exact small ints
-    ll = _unpack(ll_ref[:], pack_rows, lanesel)
+    # local row indices < wd8 <= 256 and lane indices < 128 are exact in
+    # bf16, so the index unpack dots run single-pass DEFAULT precision
+    exact = wd8 <= 256
+    lr = _unpack(lr_ref[:], pack_rows, lanesel, exact=exact)  # [T, 1]
+    ll = _unpack(ll_ref[:], pack_rows, lanesel, exact=True)
     lr = (lr + 0.5).astype(jnp.int32)  # exact f32 ints; +0.5 guards rounding
     ll = (ll + 0.5).astype(jnp.int32)
     rsel = (lr == jax.lax.broadcasted_iota(
@@ -196,9 +254,7 @@ def _gather_kernel(s_ref, lur_ref, lul_ref, lvr_ref, lvl_ref, x_ref,
                                    lanesel)
         dt = win.dtype
         for k in range(n_val):
-            rows = jnp.dot(rsel.astype(dt), win[..., k],
-                           preferred_element_type=dt,
-                           precision=HI)                    # [T, 128]
+            rows = _gather_rows(rsel, win[..., k])          # [T, 128]
             val = jnp.sum(rows * lsel.astype(dt), axis=1, keepdims=True)
             o_ref[:, :, k] = _pack(val, pack_rows, lanesel)
 
@@ -220,10 +276,7 @@ def _scatter_kernel(s_ref, lur_ref, lul_ref, lvr_ref, lvl_ref,
                                    lanesel)
         col = _unpack(v_ref[:], pack_rows, lanesel)   # [T, 1]
         d = col * lsel.astype(dt)                      # [T, 128]
-        win = win + jax.lax.dot_general(
-            rsel.astype(dt), d,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=dt, precision=HI)
+        win = win + _scatter_rows(rsel, d)
     s = s_ref[i]
     acc[pl.ds(s, wd8)] += win
 

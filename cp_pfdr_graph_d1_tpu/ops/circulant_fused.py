@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .banded import HI, _endpoint_sel, _pack, _selectors, _unpack
+from .banded import (HI, _endpoint_sel, _gather_rows, _pack,
+                     _scatter_rows, _selectors, _unpack)
 
 # VMEM is ~16 MB/core; leave headroom for compiler temporaries.  Resident
 # buffers: 6 field-size VMEM arrays (x, grad, ga, th_l1, x out, acc
@@ -184,10 +185,8 @@ def _kernel(*refs, nf, nt, tile, wd8, nv, rho, vkind, positivity, lo, hi,
                 rsel, lsel = _endpoint_sel(lr_ref, ll_ref, tile, wd8,
                                            pack_rows, lanesel)
                 sels.append((rsel, lsel))
-                rows_p = jnp.dot(rsel.astype(dt), pw,
-                                 preferred_element_type=dt, precision=HI)
-                rows_x = jnp.dot(rsel.astype(dt), xw,
-                                 preferred_element_type=dt, precision=HI)
+                rows_p = _gather_rows(rsel, pw)
+                rows_x = _gather_rows(rsel, xw)
                 ls = lsel.astype(dt)
                 pcol = jnp.sum(rows_p * ls, axis=1, keepdims=True)
                 xcol = jnp.sum(rows_x * ls, axis=1, keepdims=True)
@@ -204,10 +203,7 @@ def _kernel(*refs, nf, nt, tile, wd8, nv, rho, vkind, positivity, lo, hi,
                                           (sels[1], wvr_ref[:] * zv)):
                 col = _unpack(contrib, pack_rows, lanesel)
                 d = col * lsel.astype(dt)
-                win = win + jax.lax.dot_general(
-                    rsel.astype(dt), d,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=dt, precision=HI)
+                win = win + _scatter_rows(rsel, d)
             acc[pl.ds(s, wd8)] += win
 
     @pl.when(i == nf + nt - 1)
