@@ -449,8 +449,11 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         zu, zv = graph.gather_endpoints(x0)
 
     # fused Pallas iteration (stencil graphs): one kernel for the edge +
-    # vertex stage instead of ~10F small XLA fusions
-    if opt.fused == "off" or not getattr(graph, "supports_fused", False):
+    # vertex stage instead of ~10F small XLA fusions; vertex-sharded halo
+    # graphs route to the RDMA-overlapped halo kernel instead
+    if opt.fused == "off" or not (
+            getattr(graph, "supports_fused", False)
+            or getattr(graph, "supports_halo_fused", False)):
         fused_mode = None
     elif opt.fused == "on":
         fused_mode = "interpret" if jax.default_backend() != "tpu" else "tpu"

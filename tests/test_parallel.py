@@ -472,3 +472,43 @@ def test_cp_sharded_dense_matches_single_device():
     x_s = res_s.rx[res_s.cv]
     x_1 = np.asarray(res_1.rx)[np.asarray(res_1.cv)]
     np.testing.assert_allclose(x_s, x_1, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# halo-overlapped fused iteration (ops/halo_fused.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shift_weights", [
+    {(0, 1): 0.15, (1, 0): 0.15},
+    {(0, 1): 0.1, (1, 0): 0.12, (2, 0): 0.05, (1, -1): 0.07},
+])
+def test_halo_fused_matches_staged(shift_weights):
+    """The RDMA-overlapped halo kernel (make_async_remote_copy boundary
+    exchange overlapped with interior edge compute, SURVEY §5) must
+    reproduce the single-device staged iteration — incl. halo depth 2 and
+    negative-dx families."""
+    from cp_pfdr_graph_d1_tpu import DenseOp
+    from cp_pfdr_graph_d1_tpu.parallel import (pfdr_quadratic_d1_halo,
+                                               shard_stencil_problem)
+
+    h, w, n = 48, 40, 24
+    r = np.random.default_rng(1)
+    a = (r.standard_normal((n, h * w)) / np.sqrt(n)).astype(np.float32)
+    y = r.standard_normal(n).astype(np.float32)
+    sg = StencilGraphD1.create((h, w), shift_weights)
+    lip = float(np.linalg.svd(a, compute_uv=False)[0] ** 2)
+    la_l1 = np.full(h * w, 0.02, np.float32)
+    mesh = make_mesh(8)
+    prob = shard_stencil_problem(a, y, sg, 8)
+    vp = VertexProx(kind="l1", positivity=True)
+
+    res_halo = pfdr_quadratic_d1_halo(
+        prob, mesh, la_l1=la_l1, vprox=vp, lipsch=lip,
+        opt=PFDROptions(rho=1.4, dif_tol=0.0, it_max=120, fused="on"))
+    res_ref = pfdr_quadratic_d1(
+        DenseOp(jnp.asarray(a)), jnp.asarray(y), sg,
+        la_l1=jnp.asarray(la_l1), vprox=vp, lipsch=lip,
+        opt=PFDROptions(rho=1.4, dif_tol=0.0, it_max=120, fused="off"))
+    np.testing.assert_allclose(np.asarray(res_halo.x),
+                               np.asarray(res_ref.x), atol=3e-5)
+    assert int(res_halo.it) == int(res_ref.it)
