@@ -233,6 +233,12 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
     dif = max(opt.dif_tol, 1.0)
     num_comp = rp.shape[0]
 
+    # inexact outer loop (same schedule as the quadratic family): capped
+    # intermediate reduced solves + a full-accuracy polish on the settled
+    # partition before returning
+    inexact_on = (opt.inexact == "auto"
+                  and opt.pfdr.it_max > opt.inexact_cap)
+    last_capped = False
     while it < opt.it_max and dif >= opt.dif_tol:
         p_full = rp[cv]
 
@@ -315,26 +321,33 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
             rla_f = np.maximum(sizes, 0)
 
         # -- reduced PFDR solve (:773-780) ---------------------------------
-        if host_reduce:
-            rp_new, _ = native.pfdr_loss_d1_simplex_host(
-                np64(rq), al, rg.eu, rg.ev,
-                np64(rg.la_d1),
-                la_f=(np64(rla_f)
-                      if rla_f is not None else None),
-                rho=opt.pfdr.rho, cond_min=opt.pfdr.cond_min,
-                dif_rcd=opt.pfdr.dif_rcd, dif_tol=opt.pfdr.dif_tol,
-                it_max=opt.pfdr.it_max, p0=rp0)
-            rp = rp_new.astype(dtype)
-        else:
+        def solve_reduced(rp_start, inner_it_max):
+            if host_reduce:
+                rp_new, _ = native.pfdr_loss_d1_simplex_host(
+                    np64(rq), al, rg.eu, rg.ev,
+                    np64(rg.la_d1),
+                    la_f=(np64(rla_f)
+                          if rla_f is not None else None),
+                    rho=opt.pfdr.rho, cond_min=opt.pfdr.cond_min,
+                    dif_rcd=opt.pfdr.dif_rcd, dif_tol=opt.pfdr.dif_tol,
+                    it_max=inner_it_max, p0=rp_start)
+                return rp_new.astype(dtype)
             re_cap = bucket(len(rg.eu))
             reu, rev, rla = pad_reduced_graph(rg, rv_cap, re_cap)
             rgraph = make_reduced_container(reu, rev, rla, rv_cap,
                                             q_dev.dtype)
+            import dataclasses as _dc
+            popt = (opt.pfdr if inner_it_max == opt.pfdr.it_max
+                    else _dc.replace(opt.pfdr, it_max=inner_it_max))
             res = pfdr_loss_d1_simplex(
                 rgraph, jnp.asarray(rq), al=al,
                 la_f=jnp.asarray(rla_f) if rla_f is not None else None,
-                p0=jnp.asarray(rp0), opt=opt.pfdr)
-            rp = np.array(jax.device_get(res.p), dtype)[:num_comp]
+                p0=jnp.asarray(rp_start), opt=popt)
+            return np.array(jax.device_get(res.p), dtype)[:num_comp]
+
+        inner_cap = (opt.inexact_cap if inexact_on else opt.pfdr.it_max)
+        rp = solve_reduced(rp0, inner_cap)
+        last_capped = inner_cap < opt.pfdr.it_max
 
         # -- merge almost-equal components (:782-804) ----------------------
         p_full = rp[cv]
@@ -360,6 +373,22 @@ def cp_loss_d1_simplex(graph: GraphD1, q, *, al: float,
             print(f"CP-simplex it {it}: {num_comp} components, "
                   f"{int(active.sum())} active edges, dif {dif:.3g}")
 
+    if last_capped:
+        # final full-accuracy solve on the settled partition, warm-started
+        # from the capped solution; merge and trace tails recomputed
+        rp_pad = rp
+        if rp_pad.shape[0] < rv_cap:
+            pad = np.full((rv_cap - rp_pad.shape[0], k), 1.0 / k, dtype)
+            rp_pad = np.concatenate([rp_pad, pad])
+        rp = solve_reduced(rp_pad, opt.pfdr.it_max)[:num_comp]
+        p_full = rp[cv]
+        ae = np.nonzero(active)[0]
+        if len(ae):
+            d = np.abs(p_full[eu[ae]] - p_full[ev[ae]]).max(axis=1)
+            active[ae[d <= eps]] = False
+        times[-1] = _time.monotonic() - t0
+        if monitor:
+            objs[-1] = objective(rp, cv)
     return CPSimplexResult(
         cv=cv, rp=rp, it=it,
         time=np.asarray(times),
