@@ -378,6 +378,10 @@ def main():
             continue
         if is_headline:
             headline = row
+            # emit immediately too: the tunneled pool's first-contact
+            # latency varies 2s..400s, and a driver-side timeout must not
+            # lose the headline with the other rows
+            _emit(*row)
         else:
             _emit(*row)
     if headline is not None:
