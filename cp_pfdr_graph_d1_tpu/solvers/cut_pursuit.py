@@ -312,7 +312,18 @@ def _steepest_cut(dfs, x_full, eu, ev, la_d1, active, la_l1, positivity,
                 else dfs
             c2 = np.where(x_full == lo, np.inf, -dfs) if np.isfinite(lo) \
                 else -dfs
-        sep = cut(c1) | cut(c2)
+        if min_cut_fn is maxflow.min_cut:
+            # the native push-relabel releases the GIL (plain ctypes
+            # call): the two directional cuts run concurrently — the
+            # reference runs them back to back
+            # (CP_PFDR_graph_quadratic_d1_l1.cpp:442-549)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f1 = ex.submit(cut, c1)
+                f2 = ex.submit(cut, c2)
+                sep = f1.result() | f2.result()
+        else:
+            sep = cut(c1) | cut(c2)
 
     new_active = active.copy()
     idx = np.nonzero(inact)[0][sep]

@@ -427,10 +427,10 @@ def test_cp_sharded_identity_matches_single_device():
     from cp_pfdr_graph_d1_tpu.parallel import cp_quadratic_d1_sharded
     from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
 
-    y, graph = _tv_grid_problem(64)
-    pf = PFDROptions(rho=1.8, dif_tol=1e-6, it_max=2000)
-    kw = dict(dif_tol=1e-4, it_max=5, pfdr=pf, cut_tol=1e-6,
-              cut_it_max=100_000, inexact="off")
+    y, graph = _tv_grid_problem(48)
+    pf = PFDROptions(rho=1.8, dif_tol=1e-6, it_max=1500)
+    kw = dict(dif_tol=1e-4, it_max=4, pfdr=pf, cut_tol=1e-6,
+              cut_it_max=60_000, inexact="off")
     mesh = make_mesh(8)
     res_s = cp_quadratic_d1_sharded(y, graph, mesh, opt=CPOptions(**kw))
     res_1 = cp_quadratic_d1(IdentityOp(), jnp.asarray(y), graph,
@@ -512,3 +512,47 @@ def test_halo_fused_matches_staged(shift_weights):
     np.testing.assert_allclose(np.asarray(res_halo.x),
                                np.asarray(res_ref.x), atol=3e-5)
     assert int(res_halo.it) == int(res_ref.it)
+
+
+def test_cp_sharded_bounds_and_restart():
+    """Bounds family through the sharded device CP, plus warm restart: a
+    second solve seeded with the first's state must terminate immediately
+    (no new cut) with the same partition."""
+    from cp_pfdr_graph_d1_tpu import IdentityOp
+    from cp_pfdr_graph_d1_tpu.parallel import cp_quadratic_d1_sharded
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+
+    y, graph = _tv_grid_problem(64, seed=11)
+    pf = PFDROptions(rho=1.8, dif_tol=1e-6, it_max=2000)
+    kw = dict(dif_tol=1e-4, it_max=4, pfdr=pf, cut_tol=1e-6,
+              cut_it_max=100_000, inexact="off")
+    mesh = make_mesh(8)
+    res_s = cp_quadratic_d1_sharded(y, graph, mesh, bounds=(0.0, 0.9),
+                                    opt=CPOptions(**kw))
+    res_1 = cp_quadratic_d1(IdentityOp(), jnp.asarray(y), graph,
+                            bounds=(0.0, 0.9),
+                            opt=CPOptions(**kw, cut="device"))
+    # at-bound equality is knife-edge: the sharded path's f64 host-native
+    # reduced solves and the single-device path's f32 device solves can
+    # legitimately settle on different near-optimal partitions — the
+    # contract is the objective (the reference's own quality trace)
+    x_s = res_s.rx[res_s.cv]
+    x_1 = np.asarray(res_1.rx)[np.asarray(res_1.cv)]
+
+    def objective(x):
+        x = np.asarray(x, np.float64)
+        d = x - y.astype(np.float64)
+        la = np.asarray(graph.la_d1, np.float64)
+        xu = x[np.asarray(graph.eu)]
+        xv = x[np.asarray(graph.ev)]
+        return 0.5 * d @ d + np.sum(la * np.abs(xu - xv))
+
+    f_s, f_1 = objective(x_s), objective(x_1)
+    assert f_s <= f_1 * (1 + 1e-3), (f_s, f_1)
+    assert x_s.min() >= -1e-6 and x_s.max() <= 0.9 + 1e-6
+
+    res_r = cp_quadratic_d1_sharded(y, graph, mesh, bounds=(0.0, 0.9),
+                                    opt=CPOptions(**kw), state=res_s.state)
+    assert res_r.it <= 2
+    np.testing.assert_array_equal(np.asarray(res_r.cv),
+                                  np.asarray(res_s.cv))
