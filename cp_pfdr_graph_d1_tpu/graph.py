@@ -100,8 +100,13 @@ class GraphD1:
         if eu.size and (eu.min() < 0 or ev.min() < 0
                         or max(eu.max(), ev.max()) >= num_vertices):
             raise ValueError("edge endpoint out of range")
-        return cls(jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(la),
-                   num_vertices)
+        g = cls(jnp.asarray(eu), jnp.asarray(ev), jnp.asarray(la),
+                num_vertices)
+        # the host originals are free here; cut-pursuit's combinatorial
+        # stages would otherwise re-fetch them from device (~25 ms per
+        # array over the tunneled chip)
+        g._host_coo = (eu, ev, la)
+        return g
 
     # -- edge <-> vertex transfer ------------------------------------------
 

@@ -312,18 +312,11 @@ def _steepest_cut(dfs, x_full, eu, ev, la_d1, active, la_l1, positivity,
                 else dfs
             c2 = np.where(x_full == lo, np.inf, -dfs) if np.isfinite(lo) \
                 else -dfs
-        if min_cut_fn is maxflow.min_cut:
-            # the native push-relabel releases the GIL (plain ctypes
-            # call): the two directional cuts run concurrently — the
-            # reference runs them back to back
-            # (CP_PFDR_graph_quadratic_d1_l1.cpp:442-549)
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                f1 = ex.submit(cut, c1)
-                f2 = ex.submit(cut, c2)
-                sep = f1.result() | f2.result()
-        else:
-            sep = cut(c1) | cut(c2)
+        # NOTE: running the two directional cuts on concurrent threads was
+        # measured SLOWER on a 2-vCPU host (7.4 -> 9.4 ms/call: the native
+        # push-relabel contends with XLA's host threads); they stay
+        # sequential like the reference (:442-549)
+        sep = cut(c1) | cut(c2)
 
     new_active = active.copy()
     idx = np.nonzero(inact)[0][sep]
@@ -404,9 +397,14 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     t0 = _time.monotonic()
     from ..utils.monitor import StageProfiler
     prof = StageProfiler()
-    eu = np.asarray(graph.eu)
-    ev = np.asarray(graph.ev)
-    la_d1 = np.asarray(graph.la_d1)
+    host_coo = getattr(graph, "_host_coo", None)
+    if host_coo is not None:
+        eu, ev, la_d1 = host_coo
+        la_d1 = np.asarray(la_d1)
+    else:
+        eu = np.asarray(graph.eu)
+        ev = np.asarray(graph.ev)
+        la_d1 = np.asarray(graph.la_d1)
     num_v = graph.num_vertices
     num_e = graph.num_edges
     # no np.asarray(obs) here: a process-spanning sharded observation
