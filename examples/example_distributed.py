@@ -11,7 +11,11 @@ problem shaped like the EEG workload (dense A with N << V, grid graph):
    parallelism;
 3. distributed cut-pursuit (``parallel/cp_dist.py``) — operator rows
    sharded over the mesh, collectives inserted by the SPMD partitioner,
-   host combinatorics replicated.
+   host combinatorics replicated;
+4. sharded-graph DEVICE cut-pursuit (``parallel/cp_sharded.py``) — the
+   PDHG cuts, pointer-jumping components and contraction themselves run
+   with all O(E) state sharded into vertex row blocks, for graphs larger
+   than one chip's HBM.
 
 Run on any host (uses a virtual 8-device CPU mesh when no multi-chip
 backend is present):
@@ -108,7 +112,27 @@ def main():
     print(f"3. distributed cut-pursuit:       it={res3.it} "
           f"components={len(res3.rx)} support-Dice={dice:.3f}")
 
-    assert err1 < 1e-5 and err2 < 1e-5 and dice > 0.9
+    # 4. sharded-graph device cut-pursuit (identity-operator TV denoising:
+    # the whole-graph combinatorics run sharded, not just the operator)
+    from cp_pfdr_graph_d1_tpu import IdentityOp
+    from cp_pfdr_graph_d1_tpu.parallel import cp_quadratic_d1_sharded
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+
+    y_img = (x_true + 0.1 * r.standard_normal((h, w))
+             ).astype(np.float32).ravel()
+    sg_tv = StencilGraphD1.create((h, w), {(0, 1): 0.3, (1, 0): 0.3})
+    kw = dict(dif_tol=1e-4, it_max=4,
+              pfdr=PFDROptions(rho=1.8, dif_tol=1e-6, it_max=1500),
+              cut_tol=1e-6, cut_it_max=60_000, inexact="off")
+    res4 = cp_quadratic_d1_sharded(y_img, sg_tv, mesh, opt=CPOptions(**kw))
+    ref4 = cp_quadratic_d1(IdentityOp(), jnp.asarray(y_img), sg_tv,
+                           opt=CPOptions(**kw, cut="device"))
+    cv_match = bool(np.array_equal(np.asarray(res4.cv),
+                                   np.asarray(ref4.cv)))
+    print(f"4. sharded-graph device CP:       it={res4.it} "
+          f"components={len(res4.rx)} cv==single-device: {cv_match}")
+
+    assert err1 < 1e-5 and err2 < 1e-5 and dice > 0.9 and cv_match
     print("all distributed paths agree with the single-device solve")
 
 
