@@ -25,7 +25,11 @@ than one chip's HBM:
 
 Host traffic per CP iteration is O(V) for the label fetch + component id
 upload and o(V) for everything else; no O(E) array ever leaves the
-devices.  Reference stages replaced:
+devices.  Scope: one controlling process (any number of its devices) —
+the boundary-merge fetch reads the global label array, which would need
+``multihost_utils.process_allgather`` on a process-spanning mesh; wiring
+that (and moving the union-find on device) is the designed extension for
+multi-host pods.  Reference stages replaced:
 ``/root/reference/src/CP_PFDR_graph_quadratic_d1_l1.cpp:411-549`` (cuts),
 ``:570-596`` (DFS components), ``:607-661`` (contraction).
 """
