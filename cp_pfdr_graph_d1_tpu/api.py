@@ -61,13 +61,25 @@ class PFDROutput(NamedTuple):
 
 
 def _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin, PFDR_difRcd,
-                PFDR_difTol, PFDR_itMax, verbose) -> CPOptions:
+                PFDR_difTol, PFDR_itMax, verbose,
+                inexact: str = "auto") -> CPOptions:
+    """Cut-pursuit options for the compatibility wrappers.
+
+    ``inexact``: with the default "auto" and ``PFDR_itMax > 3000``,
+    *intermediate* reduced solves are iteration-capped and a final
+    full-accuracy polish restores the caller's tolerance — the final
+    objective matches the reference, but intermediate iterates/partitions
+    can differ from the reference C++ trajectory for identical parameters.
+    Pass ``inexact="off"`` to reproduce the reference trajectory exactly
+    (every reduced solve at full accuracy,
+    ``CP_PFDR_graph_quadratic_d1_l1.cpp:842-859``).
+    """
     return CPOptions(
         dif_tol=float(CP_difTol), it_max=int(CP_itMax),
         pfdr=PFDROptions(rho=float(PFDR_rho), cond_min=float(PFDR_condMin),
                          dif_rcd=float(PFDR_difRcd),
                          dif_tol=float(PFDR_difTol), it_max=int(PFDR_itMax)),
-        verbose=int(verbose))
+        verbose=int(verbose), inexact=inexact)
 
 
 def _graph(Eu, Ev, La_d1, num_vertices, dtype, container: str = "coo"):
@@ -135,7 +147,8 @@ def cp_quadratic_d1_l1(Y, A, Eu, Ev, La_d1, La_l1=None, positivity=False,
                        CP_difTol=1e-3, CP_itMax=10, PFDR_rho=1.0,
                        PFDR_condMin=1e-3, PFDR_difRcd=0.0, PFDR_difTol=1e-4,
                        PFDR_itMax=10_000, verbose=0, duplex=False,
-                       monitor=False, state=None, graph=None) -> CPOutput:
+                       monitor=False, state=None, graph=None,
+                       inexact="auto") -> CPOutput:
     """Fused LASSO ``1/2||y - A x||^2 + d1 + l1`` with dense N-by-V ``A``
     (``octave/mex/CP_PFDR_graph_quadratic_d1_l1_mex.cpp:12``; duplex=True
     selects the two-layer ternary-cut variant).  Pass a prebuilt ``graph``
@@ -155,7 +168,8 @@ def cp_quadratic_d1_l1(Y, A, Eu, Ev, La_d1, La_l1=None, positivity=False,
     g = graph if graph is not None else _graph(Eu, Ev, La_d1, a.shape[1],
                                                dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
-                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
+                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose,
+                      inexact)
     op = DenseOp(a)
     op._host_a = np.asarray(a_host, np.float64)  # spare host-small a pull
     return _cp_run(op, np.asarray(Y, dtype), g, La_l1,
@@ -166,8 +180,8 @@ def cp_quadratic_d1_l1_AtA(AtY, AtA, Eu, Ev, La_d1, La_l1=None,
                            positivity=False, CP_difTol=1e-3, CP_itMax=10,
                            PFDR_rho=1.0, PFDR_condMin=1e-3, PFDR_difRcd=0.0,
                            PFDR_difTol=1e-4, PFDR_itMax=10_000, verbose=0,
-                           duplex=False, monitor=False, state=None
-                           ) -> CPOutput:
+                           duplex=False, monitor=False, state=None,
+                           inexact="auto") -> CPOutput:
     """Premultiplied variant: arguments are ``A^t Y`` and ``A^t A``
     (``octave/mex/CP_PFDR_graph_quadratic_d1_l1_AtA_mex.cpp:61`` passes
     ``N = -V``)."""
@@ -176,7 +190,8 @@ def cp_quadratic_d1_l1_AtA(AtY, AtA, Eu, Ev, La_d1, La_l1=None,
     gram = jnp.asarray(gram_host, dtype)
     g = _graph(Eu, Ev, La_d1, gram.shape[1], dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
-                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
+                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose,
+                      inexact)
     op = GramOp(gram)
     op._host_gram = np.asarray(gram_host, np.float64)
     return _cp_run(op, np.asarray(AtY, dtype), g,
@@ -187,7 +202,7 @@ def cp_l22_d1_l1(Y, La_l2, Eu, Ev, La_d1, La_l1=None, positivity=False,
                  CP_difTol=1e-3, CP_itMax=10, PFDR_rho=1.0,
                  PFDR_condMin=1e-3, PFDR_difRcd=0.0, PFDR_difTol=1e-4,
                  PFDR_itMax=10_000, verbose=0, duplex=False, monitor=False,
-                 state=None) -> CPOutput:
+                 state=None, inexact="auto") -> CPOutput:
     """Weighted-distance case ``1/2||y - x||^2_{La_l2} + d1 + l1``:
     premultiplies ``Y <- La_l2 * Y``, solves with the diagonal operator, and
     corrects the objective by the constant ``1/2 ||y||^2_{La_l2}``
@@ -198,7 +213,8 @@ def cp_l22_d1_l1(Y, La_l2, Eu, Ev, La_d1, La_l1=None, positivity=False,
     num_v = Y.shape[0]
     g = _graph(Eu, Ev, La_d1, num_v, dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
-                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
+                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose,
+                      inexact)
     if La_l2 is None:
         op = IdentityOp()
         obs = jnp.asarray(Y, dtype)
@@ -223,14 +239,16 @@ def cp_quadratic_d1_bounds(Y, A, Eu, Ev, La_d1, m=-np.inf, M=np.inf,
                            CP_difTol=1e-3, CP_itMax=10, PFDR_rho=1.0,
                            PFDR_condMin=1e-3, PFDR_difRcd=0.0,
                            PFDR_difTol=1e-4, PFDR_itMax=10_000, verbose=0,
-                           monitor=False, state=None) -> CPOutput:
+                           monitor=False, state=None,
+                           inexact="auto") -> CPOutput:
     """Box-constrained variant
     (``octave/mex/CP_PFDR_graph_quadratic_d1_bounds_mex.cpp``)."""
     dtype = _dtype_of(Y, A)
     a = jnp.asarray(np.asarray(A), dtype)
     g = _graph(Eu, Ev, La_d1, a.shape[1], dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
-                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
+                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose,
+                      inexact)
     return _cp_run(DenseOp(a), np.asarray(Y, dtype), g, None,
                    False, (float(m), float(M)), False, opt, monitor, state)
 
@@ -240,12 +258,13 @@ def cp_quadratic_d1_bounds_AtA(AtY, AtA, Eu, Ev, La_d1, m=-np.inf,
                                PFDR_rho=1.0, PFDR_condMin=1e-3,
                                PFDR_difRcd=0.0, PFDR_difTol=1e-4,
                                PFDR_itMax=10_000, verbose=0, monitor=False,
-                               state=None) -> CPOutput:
+                               state=None, inexact="auto") -> CPOutput:
     dtype = _dtype_of(AtY, AtA)
     gram = jnp.asarray(np.asarray(AtA), dtype)
     g = _graph(Eu, Ev, La_d1, gram.shape[1], dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
-                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
+                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose,
+                      inexact)
     return _cp_run(GramOp(gram), np.asarray(AtY, dtype), g,
                    None, False, (float(m), float(M)), False, opt, monitor,
                    state)
@@ -255,13 +274,14 @@ def cp_l22_d1_bounds(Y, La_l2, Eu, Ev, La_d1, m=-np.inf, M=np.inf,
                      CP_difTol=1e-3, CP_itMax=10, PFDR_rho=1.0,
                      PFDR_condMin=1e-3, PFDR_difRcd=0.0, PFDR_difTol=1e-4,
                      PFDR_itMax=10_000, verbose=0, monitor=False,
-                     state=None) -> CPOutput:
+                     state=None, inexact="auto") -> CPOutput:
     Y = np.asarray(Y)
     dtype = _dtype_of(Y, La_l2 if La_l2 is not None else Y)
     num_v = Y.shape[0]
     g = _graph(Eu, Ev, La_d1, num_v, dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
-                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
+                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose,
+                      inexact)
     if La_l2 is None:
         op = IdentityOp()
         obs = jnp.asarray(Y, dtype)
@@ -285,7 +305,8 @@ def cp_l22_d1_bounds(Y, La_l2, Eu, Ev, La_d1, m=-np.inf, M=np.inf,
 def cp_loss_d1_simplex(Q, al, Eu, Ev, La_d1, CP_difTol=1e-3, CP_itMax=10,
                        PFDR_rho=1.0, PFDR_condMin=1e-3, PFDR_difRcd=0.0,
                        PFDR_difTol=1e-4, PFDR_itMax=10_000, verbose=0,
-                       monitor=False, state=None) -> CPOutput:
+                       monitor=False, state=None,
+                       inexact="auto") -> CPOutput:
     """Multi-label solve
     (``octave/mex/CP_PFDR_graph_loss_d1_simplex_mex.cpp:12``); ``Q`` is
     [V, K] vertex-major; returns ``rX`` of shape [rV, K]."""
@@ -293,7 +314,8 @@ def cp_loss_d1_simplex(Q, al, Eu, Ev, La_d1, CP_difTol=1e-3, CP_itMax=10,
     dtype = _dtype_of(Q)
     g = _graph(Eu, Ev, La_d1, Q.shape[0], dtype)
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
-                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
+                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose,
+                      inexact)
     res = _cp_simplex(g, jnp.asarray(Q, dtype), al=float(al), opt=opt,
                       monitor=monitor, state=state)
     return CPOutput(res.cv, res.rp, res.it, res.time, res.obj, res.dif,
@@ -483,7 +505,8 @@ def pfdr_loss_d1_simplex_api(Q, al, Eu, Ev, La_d1, La_f=None, PFDR_rho=1.0,
 def CP_quadratic_l1(obs, source, target, edge_weight, A, l1_weight=0.0,
                     positivity=0, PFDR_rho=1.0, PFDR_condMin=1e-3,
                     CP_difTol=1e-3, PFDR_difRcd=0.0, PFDR_difTol=1e-4,
-                    CP_itMax=10, PFDR_itMax=10_000, verbose=0):
+                    CP_itMax=10, PFDR_itMax=10_000, verbose=0,
+                    inexact="auto"):
     """Drop-in analog of the reference Python binding
     (``python/CP_quadratic_l1_py.cpp:368-420``): infers the operator mode
     from the shape of ``A`` — scalar 1 = identity; length-N vector =
@@ -520,7 +543,8 @@ def CP_quadratic_l1(obs, source, target, edge_weight, A, l1_weight=0.0,
                dtype)
     la_l1 = np.broadcast_to(np.asarray(l1_weight), (num_v,))
     opt = _cp_options(CP_difTol, CP_itMax, PFDR_rho, PFDR_condMin,
-                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose)
+                      PFDR_difRcd, PFDR_difTol, PFDR_itMax, verbose,
+                      inexact)
     res = cp_quadratic_d1(op, jnp.asarray(obs_dev, dtype), g, la_l1=la_l1,
                           positivity=bool(positivity), opt=opt)
     return res.cv, res.rx

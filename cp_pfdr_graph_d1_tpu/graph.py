@@ -87,9 +87,19 @@ class GraphD1:
     def create(cls, eu, ev, la_d1, num_vertices: Optional[int] = None,
                dtype=jnp.float32) -> "GraphD1":
         """Builds a graph from host arrays, validating shapes."""
+        # own the host copies: np.asarray is a no-copy for already-matching
+        # inputs, and the retained _host_coo must not silently track caller
+        # mutations (the device arrays are immutable snapshots)
+        eu_in, ev_in, la_in = eu, ev, la_d1
         eu = np.asarray(eu, dtype=np.int32)
         ev = np.asarray(ev, dtype=np.int32)
         la = np.asarray(la_d1, dtype=dtype)
+        if eu is eu_in or eu.base is not None:
+            eu = eu.copy()
+        if ev is ev_in or ev.base is not None:
+            ev = ev.copy()
+        if la is la_in or la.base is not None:
+            la = la.copy()
         if la.ndim == 0:
             la = np.full(eu.shape, la, dtype=la.dtype)
         if eu.shape != ev.shape or eu.shape != la.shape:

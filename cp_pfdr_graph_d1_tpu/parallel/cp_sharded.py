@@ -304,28 +304,23 @@ def _merge_boundary(labs: np.ndarray, pairs: np.ndarray,
     pv = pairs[..., 1].reshape(-1)[valid.reshape(-1)]
     uniq = np.unique(glab)
     comp = np.searchsorted(uniq, glab)
-    parent = np.arange(len(uniq))
-
-    def find(i):
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:
-            parent[i], i = root, parent[i]
-        return root
-
-    for a, b in zip(np.searchsorted(uniq, pu), np.searchsorted(uniq, pv)):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by smaller representative glab: the merged class keeps
-            # the smallest global vertex index, preserving the reference's
-            # first-encounter component numbering
-            if uniq[ra] < uniq[rb]:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    roots = np.asarray([find(i) for i in range(len(uniq))])
-    root_glab = uniq[roots]
+    n = len(uniq)
+    if len(pu):
+        import scipy.sparse as _sp
+        from scipy.sparse.csgraph import connected_components as _cc
+        a = np.searchsorted(uniq, pu)
+        b = np.searchsorted(uniq, pv)
+        adj = _sp.coo_matrix((np.ones(len(a), np.int8), (a, b)),
+                             shape=(n, n))
+        ncc, cls = _cc(adj, directed=False)
+    else:
+        ncc, cls = n, np.arange(n)
+    # each merged class keeps its smallest global vertex index as the
+    # representative, preserving the reference's first-encounter component
+    # numbering (single-device path numbers by smallest member)
+    rep = np.full(ncc, np.iinfo(np.int64).max)
+    np.minimum.at(rep, cls, uniq)
+    root_glab = rep[cls]
     order = np.unique(root_glab)
     compact = np.searchsorted(order, root_glab)
     return len(order), compact[comp].astype(np.int32)
@@ -507,16 +502,30 @@ def cp_quadratic_d1_sharded(obs, graph: StencilGraphD1, mesh: Mesh, *,
         comp_body, mesh=mesh, in_specs=(P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
 
-    cap = min(_TRIPLE_CAP, g.e_loc)
+    tri_cap = [min(_TRIPLE_CAP, g.e_loc)]
+    _tri_stages = {}
 
-    def tri_body(la_l, act, cv_l):
-        tu, tv, tw, cnt = _stage_triples(la_l[0], act[0], cv_l[0], g=g,
-                                         cap=cap)
-        return tu[None], tv[None], tw[None], cnt[None]
-
-    tri_stage = jax.shard_map(
-        tri_body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)), check_vma=False)
+    def tri_stage(la_l, act, cv_l):
+        """Compaction with overflow retry: the capacity is a static
+        shard_map kwarg, so doubling it is one retrace — never a
+        mid-solve abort (a noisy problem can legitimately cross the
+        default cap after a few cuts)."""
+        while True:
+            cap = tri_cap[0]
+            if cap not in _tri_stages:
+                def body(la_l, act, cv_l, cap=cap):
+                    tu, tv, tw, cnt = _stage_triples(
+                        la_l[0], act[0], cv_l[0], g=g, cap=cap)
+                    return tu[None], tv[None], tw[None], cnt[None]
+                _tri_stages[cap] = jax.shard_map(
+                    body, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
+                    out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                    check_vma=False)
+            out = _tri_stages[cap](la_l, act, cv_l)
+            cnt = np.asarray(jax.device_get(out[3]))
+            if not np.any(cnt > cap):
+                return out
+            tri_cap[0] = min(max(2 * cap, int(cnt.max())), g.e_loc)
 
     # -- main loop ---------------------------------------------------------
     times = [0.0]
@@ -563,12 +572,7 @@ def cp_quadratic_d1_sharded(obs, graph: StencilGraphD1, mesh: Mesh, *,
 
         # -- contraction: sharded compaction + host merge ------------------
         cv_dev = sh(vblocks(cv))
-        tu_d, tv_d, tw_d, cnt_d = tri_stage(la_dev, active_dev, cv_dev)
-        cnt = np.asarray(jax.device_get(cnt_d))
-        if np.any(cnt > cap):
-            raise RuntimeError(
-                f"active edges per shard ({int(cnt.max())}) exceed the "
-                f"triple capacity {cap}")
+        tu_d, tv_d, tw_d, _cnt_d = tri_stage(la_dev, active_dev, cv_dev)
         tu = np.asarray(jax.device_get(tu_d)).reshape(-1)
         tv = np.asarray(jax.device_get(tv_d)).reshape(-1)
         tw = np.asarray(jax.device_get(tw_d)).reshape(-1).astype(np.float64)

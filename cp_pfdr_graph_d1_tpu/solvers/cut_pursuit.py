@@ -443,11 +443,9 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     eps = machine_eps(dtype, opt.dif_tol)
     dif_tol2 = opt.dif_tol * opt.dif_tol
 
-    if opt.cut == "device":
-        from ..maxflow.device import min_cut_device_with_fallback
-        min_cut_fn = partial(min_cut_device_with_fallback,
-                             tol=opt.cut_tol, it_max=opt.cut_it_max)
-    elif opt.cut == "host":
+    # cut == "device" already routed into cp_quadratic_d1_device above;
+    # the host loop always uses the native push-relabel min-cut
+    if opt.cut == "host":
         min_cut_fn = maxflow.min_cut
     else:
         raise ValueError(f"unknown cut backend {opt.cut!r}")

@@ -387,6 +387,23 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                               or opt.dif_rcd != 0)
                          and _whole_solve_kind(op, graph) is not None)
         if whole_blocked:
+            # only warn when the unmonitored run would actually take the
+            # whole-solve route: same backend/dtype/geometry admission as
+            # the dispatch below (a VMEM-rejected or non-TPU/non-f32 run
+            # takes the staged loop either way, so there is no divergence
+            # to warn about)
+            wk = _whole_solve_kind(op, graph)
+            from ..ops.solve_fused import supports_fused_solve
+            p = graph.plan
+            np_pad = (-(-op.a.shape[0] // 128) * 128
+                      if wk == "dense" else 128)
+            admitted = supports_fused_solve(p.num_tiles, p.tile, p.wd8,
+                                            p.v8, np_pad, wk)
+            on_tpu = jax.default_backend() == "tpu"
+            admitted = admitted and (opt.fused == "on"
+                                     or (on_tpu and dtype == jnp.float32))
+            whole_blocked = admitted
+        if whole_blocked:
             # the staged loop computes the SAME per-iteration update, but
             # dispatches ~20 ops/iteration instead of one kernel — make
             # the path switch loud so traced timings are not mistaken for

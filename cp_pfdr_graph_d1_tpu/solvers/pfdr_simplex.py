@@ -305,7 +305,12 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
     if (opt.fused != "off"
             and (monitor or opt.verbose != 0 or opt.dif_rcd != 0)
             and state0 is None and not return_state
-            and getattr(graph, "supports_fused", False)):
+            and getattr(graph, "supports_fused", False)
+            # only warn when the unmonitored run would actually take the
+            # fused route (same backend/dtype admission as below)
+            and (opt.fused == "on"
+                 or (jax.default_backend() == "tpu"
+                     and dtype == jnp.float32))):
         import warnings
         warnings.warn(
             "monitor/verbose/dif_rcd forces the staged simplex PFDR loop; "
