@@ -234,16 +234,40 @@ def bench_simplex(oracle):
 
 
 def bench_cut_pursuit(oracle):
-    """End-to-end cut-pursuit fused-LASSO solve, reference parameters."""
-    from cp_pfdr_graph_d1_tpu import api
+    """End-to-end cut-pursuit fused-LASSO solve, reference parameters,
+    through the chained device-resident outer loop (r05: warm partition
+    init + the whole loop in a handful of dispatches,
+    ``solvers/cut_pursuit_chain.py``)."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import DenseOp
+    from cp_pfdr_graph_d1_tpu.config import CPOptions, PFDROptions
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
     eu, ev, la_d1, a, y, la_l1 = build_grid_problem()
+    graph = StencilGraphD1.create((V_SIDE, V_SIDE),
+                                  {(0, 1): LA_D1, (1, 0): LA_D1},
+                                  dtype=jnp.float32)
+    op = DenseOp(jnp.asarray(a))
+    obs = jnp.asarray(y)
+    l1 = jnp.asarray(la_l1)
+    opt = CPOptions(
+        dif_tol=1e-4, it_max=15,
+        pfdr=PFDROptions(rho=1.5, cond_min=1e-3, dif_rcd=0.0,
+                         dif_tol=1e-7, it_max=10_000),
+        cut="device", chain="auto", cut_tol=1e-6, cut_it_max=100_000,
+        chain_init_pfdr=3000)
+
+    class _Out:
+        pass
 
     def run():
         t0 = time.perf_counter()
-        out = api.cp_quadratic_d1_l1(
-            y, a, eu, ev, la_d1, la_l1, positivity=True, CP_difTol=1e-4,
-            CP_itMax=15, PFDR_rho=1.5, PFDR_condMin=1e-3, PFDR_difRcd=0.0,
-            PFDR_difTol=1e-7, PFDR_itMax=10_000)
+        res = cp_quadratic_d1(op, obs, graph, la_l1=l1, positivity=True,
+                              opt=opt)
+        np.asarray(res.rx)  # host materialization
+        out = _Out()
+        out.Cv, out.rX = np.asarray(res.cv), np.asarray(res.rx)
         return time.perf_counter() - t0, out
 
     run()  # warm (compile + native build)

@@ -99,6 +99,14 @@ class CPOptions:
         reduced solve at full accuracy (the reference's behavior,
         ``CP_PFDR_graph_quadratic_d1_l1.cpp:842-859``).
       inexact_cap: iteration cap for intermediate reduced solves.
+      chain: with ``cut="device"``, "auto" runs the ENTIRE outer loop in
+        one dispatch (cuts, components, contraction, reduced solves
+        chained inside one ``lax.while_loop`` — a handful of host round
+        trips per solve instead of two per CP iteration,
+        :mod:`..solvers.cut_pursuit_chain`) whenever the problem admits
+        it (TPU float32, non-duplex, unmonitored, small-solve geometry);
+        "on" forces it with interpreted kernels off-TPU (tests); "off"
+        keeps the per-iteration device loop.
     """
 
     dif_tol: float = 1e-3
@@ -112,6 +120,12 @@ class CPOptions:
     cut_it_max: int = 200_000
     inexact: str = "auto"
     inexact_cap: int = 3000
+    chain: str = "auto"
+    # chained loop only: number of full-graph PFDR iterations used to seed
+    # the initial partition from the iterate's jump set (costs milliseconds
+    # through the fused stencil kernel and skips the shattered-partition
+    # phase the reference's scalar init causes); 0 restores the scalar init
+    chain_init_pfdr: int = 600
 
 
 # Parameters used by the reference cut-pursuit solvers for the power-method

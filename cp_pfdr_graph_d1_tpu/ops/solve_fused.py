@@ -83,8 +83,9 @@ def _kernel(starts_ref, itm_ref,
             xo_ref, zuo_ref, zvo_ref, it_ref, dif_ref,
             x_s, p_s, acc_s, *,
             nt, tile, wd8, v8, np_pad, op_kind, rho, vkind, positivity,
-            lo, hi, dif_tol2, eps, rv):
+            lo, hi, dif_tol2, eps):
     it_max = itm_ref[0]  # runtime bound: one compiled kernel per geometry
+    rv = itm_ref[1]      # runtime true vertex count (prox/reduction mask)
     dt = x0_ref.dtype
     t8 = tile // 128
     pack_rows, lanesel = _selectors(tile)
@@ -274,10 +275,9 @@ def _kernel(starts_ref, itm_ref,
             xn = jnp.maximum(a, 0)
         else:
             xn = a
-        if rv < v8 * 128:
-            flat = (jax.lax.broadcasted_iota(jnp.int32, (v8, 128), 0) * 128
-                    + jax.lax.broadcasted_iota(jnp.int32, (v8, 128), 1))
-            xn = jnp.where(flat < rv, xn, 0)
+        flat = (jax.lax.broadcasted_iota(jnp.int32, (v8, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (v8, 128), 1))
+        xn = jnp.where(flat < rv, xn, 0)
         # relative iterate evolution (:514-529)
         delta = xn - x
         num = jnp.sum(delta * delta)
@@ -296,7 +296,7 @@ def _kernel(starts_ref, itm_ref,
 @partial(jax.jit, static_argnames=("nt", "tile", "wd8", "v8", "np_pad",
                                    "op_kind", "rho", "vkind", "positivity",
                                    "lo", "hi", "dif_tol2", "eps",
-                                   "rv", "interpret"))
+                                   "interpret"))
 def fused_pfdr_solve(starts8, lur, lul, lvr, lvl,
                      zu0, zv0, wu, wv, w_d1u, w_d1v, th_d1,
                      x0, ga, th_l1, aty, op_a, op_b, *,
@@ -316,7 +316,8 @@ def fused_pfdr_solve(starts8, lur, lul, lvr, lvl,
         [NP, RV] (zero padded, NP a multiple of 128); gram: ``A^t A``
         [RV, RV] and an [8, 128] dummy; diag: diag as a [V8, 128] field
         and a dummy.
-      rv: true (padded-problem) vertex count for the prox/reduction mask.
+      rv: true (padded-problem) vertex count for the prox/reduction mask
+        (runtime value — no recompile per component count).
 
     Returns:
       ``(x [V8,128], zu, zv [nt*T8,128], it, dif)``.
@@ -335,8 +336,9 @@ def fused_pfdr_solve(starts8, lur, lul, lvr, lvl,
     kern = partial(_kernel, nt=nt, tile=tile, wd8=wd8, v8=v8,
                    np_pad=np_pad, op_kind=op_kind, rho=rho, vkind=vkind,
                    positivity=positivity, lo=lo, hi=hi,
-                   dif_tol2=dif_tol2, eps=eps, rv=rv)
-    itm = jnp.asarray(it_max, jnp.int32).reshape(1)
+                   dif_tol2=dif_tol2, eps=eps)
+    itm = jnp.stack([jnp.asarray(it_max, jnp.int32),
+                     jnp.asarray(rv, jnp.int32)])
     xn, zun, zvn, it, dif = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((v8, 128), dt),

@@ -418,7 +418,15 @@ def cp_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
     if opt.cut == "device":
         # fully device-resident iteration: cuts (two-directional or duplex
         # ternary), components, contraction, merge all on device; o(E)
-        # host traffic per iteration
+        # host traffic per iteration.  When the problem admits it, the
+        # WHOLE outer loop chains into one dispatch (cut_pursuit_chain)
+        from .cut_pursuit_chain import (chain_admissible,
+                                        cp_quadratic_d1_chain)
+        if chain_admissible(op, graph, opt, duplex, monitor, dtype):
+            return cp_quadratic_d1_chain(op, obs, graph, la_l1=la_l1,
+                                         positivity=positivity,
+                                         bounds=bounds, opt=opt,
+                                         state=state)
         from .cut_pursuit_device import cp_quadratic_d1_device
         return cp_quadratic_d1_device(op, obs, graph, la_l1=la_l1,
                                       positivity=positivity, bounds=bounds,
