@@ -379,6 +379,126 @@ def bench_cut_pursuit_device(oracle):
             "(warm-started PDHG cuts)", t_dev * 1000, "ms", vs)
 
 
+def bench_cut_pursuit_simplex(oracle):
+    """End-to-end multi-label (K=4) cut-pursuit segmentation, 262k
+    vertices with 35% label noise, through the device-resident loop
+    (PDHG alpha-expansion cuts + device contraction), vs the reference
+    ``CP_PFDR_graph_loss_d1_simplex`` on identical inputs."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu.config import CPOptions, PFDROptions
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_simplex import \
+        cp_loss_d1_simplex
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+    k = 4
+    side = 512
+    v = side * side
+    idx = np.arange(v).reshape(side, side)
+    eu = np.concatenate([idx[:, :-1].ravel(),
+                         idx[:-1, :].ravel()]).astype(np.int32)
+    ev = np.concatenate([idx[:, 1:].ravel(),
+                         idx[1:, :].ravel()]).astype(np.int32)
+    r = np.random.default_rng(17)
+    labels = (idx // (side // 2) % 2 * 2
+              + (idx % side) // (side // 2) % 2).ravel()
+    q = np.full((v, k), 0.05, np.float32)
+    q[np.arange(v), labels] = 0.85
+    flip = r.random(v) < 0.35
+    q[flip] = r.dirichlet(np.full(k, 0.8),
+                          size=int(flip.sum())).astype(np.float32)
+    la = 0.4
+    graph = StencilGraphD1.create((side, side),
+                                  {(0, 1): la, (1, 0): la},
+                                  dtype=jnp.float32)
+    q_dev = jnp.asarray(q)
+    opt = CPOptions(dif_tol=1e-3, it_max=10,
+                    pfdr=PFDROptions(rho=1.5, dif_tol=1e-6, it_max=3000),
+                    cut="device", cut_tol=1e-5, cut_it_max=50_000)
+
+    def run():
+        t0 = time.perf_counter()
+        res = cp_loss_d1_simplex(graph, q_dev, al=1.0, opt=opt)
+        np.asarray(res.rp)
+        return time.perf_counter() - t0, res
+
+    run()
+    t_ours, res = run()
+    t2, res = run()
+    t_ours = min(t_ours, t2)
+    vs = 0.0
+    if oracle is not None:
+        t0 = time.perf_counter()
+        cv_r, rp_r, _ = oracle.cp_simplex(
+            q, 1.0, eu, ev, la, CP_difTol=1e-3, CP_itMax=10, rho=1.5,
+            difTol=1e-6, itMax=3000)
+        t_ref = time.perf_counter() - t0
+        vs = t_ref / t_ours
+        ml_ours = np.asarray(res.rp)[np.asarray(res.cv)].argmax(1)
+        ml_ref = rp_r[cv_r].argmax(1)
+        dis = float(np.mean(ml_ours != ml_ref))
+        if dis > 0.02:
+            print(f"WARNING: multi-label CP labeling mismatch {dis:.3%}",
+                  file=sys.stderr)
+    return ("multi-label cut-pursuit end-to-end (K=4, 262k vertices)",
+            t_ours * 1000, "ms", vs)
+
+
+def bench_cut_pursuit_bounds(oracle):
+    """End-to-end bounds-family cut-pursuit (box [0, 1]) at EEG scale
+    through the chained device loop, vs the reference
+    ``CP_PFDR_graph_quadratic_d1_bounds``."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import DenseOp
+    from cp_pfdr_graph_d1_tpu.config import CPOptions, PFDROptions
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import cp_quadratic_d1
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+    eu, ev, la_d1, a, y, _ = build_grid_problem(seed=23)
+    graph = StencilGraphD1.create((V_SIDE, V_SIDE),
+                                  {(0, 1): LA_D1, (1, 0): LA_D1},
+                                  dtype=jnp.float32)
+    op = DenseOp(jnp.asarray(a))
+    obs = jnp.asarray(y)
+    opt = CPOptions(
+        dif_tol=1e-4, it_max=15,
+        pfdr=PFDROptions(rho=1.5, dif_tol=1e-7, it_max=10_000),
+        cut="device", chain="auto", cut_tol=1e-6, cut_it_max=100_000,
+        chain_init_pfdr=3000)
+
+    def run():
+        t0 = time.perf_counter()
+        res = cp_quadratic_d1(op, obs, graph, bounds=(0.0, 1.0), opt=opt)
+        x = np.asarray(res.rx)[np.asarray(res.cv)]
+        return time.perf_counter() - t0, x
+
+    run()
+    t_ours, x_ours = run()
+    t2, x_ours = run()
+    t_ours = min(t_ours, t2)
+    vs = 0.0
+    if oracle is not None:
+        t0 = time.perf_counter()
+        cv, rx, _ = oracle.cp_qbounds(
+            y, a, eu, ev, la_d1, 0.0, 1.0, CP_difTol=1e-4, CP_itMax=15,
+            rho=1.5, difTol=1e-7, itMax=10_000)
+        t_ref = time.perf_counter() - t0
+        vs = t_ref / t_ours
+
+        def objective(x):
+            x = np.asarray(x, np.float64)
+            r = a.astype(np.float64) @ x - y.astype(np.float64)
+            tv = np.sum(la_d1.astype(np.float64) * np.abs(x[eu] - x[ev]))
+            return 0.5 * r @ r + tv
+
+        f_ours, f_ref = objective(x_ours), objective(rx[cv])
+        if f_ours > f_ref * (1 + 1e-3):
+            print(f"WARNING: bounds cut-pursuit objective regression "
+                  f"{f_ours:.6g} vs reference {f_ref:.6g}",
+                  file=sys.stderr)
+    return ("bounds cut-pursuit EEG-scale end-to-end (box [0,1])",
+            t_ours * 1000, "ms", vs)
+
+
 def main():
     try:
         oracle = _oracle()
@@ -394,6 +514,8 @@ def main():
                             (bench_unstructured, False),
                             (bench_simplex, False),
                             (bench_cut_pursuit, False),
+                            (bench_cut_pursuit_bounds, False),
+                            (bench_cut_pursuit_simplex, False),
                             (bench_cut_pursuit_device, False)):
         try:
             row = fn(oracle)

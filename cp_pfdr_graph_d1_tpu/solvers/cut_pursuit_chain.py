@@ -857,14 +857,21 @@ def cp_quadratic_d1_chain(op: QuadOp, obs, graph: GraphD1, *,
     wd8_cur = 8             # banded window width, escalated on overflow
 
     def _fits(nc, na):
-        """Chain route spec for the current partition, or None."""
+        """Chain route spec for the current partition, or None.
+
+        The DISTINCT reduced-edge count is bounded by the active-edge
+        count ``na`` but typically far smaller (many parallel edges merge
+        per component pair); for planar inputs it is < 3 nc.  The
+        estimate picks the smaller capacity — a wrong guess surfaces as
+        a capacity overflow, which the driver escalates."""
+        need = min(na, max(3 * nc, 256))
         rc = max(256, bucket(max(nc, min_rv)))
         if rc <= max_rv_cap:
             re_cap = _caps_for(rc, np_pad, red_kind)
-            while re_cap is not None and na > re_cap and rc < max_rv_cap:
+            while re_cap is not None and need > re_cap and rc < max_rv_cap:
                 rc *= 2
                 re_cap = _caps_for(rc, np_pad, red_kind)
-            if re_cap is not None and na <= re_cap:
+            if re_cap is not None and need <= re_cap:
                 return dict(solve_route="small", rv_cap=rc, re_cap=re_cap,
                             nt=1, tile=_TILE, wd8=1)
         if red_kind == "gram":
@@ -873,7 +880,7 @@ def cp_quadratic_d1_chain(op: QuadOp, obs, graph: GraphD1, *,
         rc = max(256, bucket(max(nc, min_rv)))
         if rc > _BANDED_MAX_RV:
             return None
-        nt = max(1, -(-(na + rc) // _TILE))
+        nt = max(1, -(-(need + rc) // _TILE))
         while nt & (nt - 1):   # next power of two: bounds compile variants
             nt += 1
         if nt > _NT_MAX:
