@@ -35,14 +35,19 @@ def connected_components_device(graph: GraphD1, edge_mask,
     Args:
       graph: the full graph (its incidence table drives the reduction).
       edge_mask: bool [E]; masked-out edges do not connect.
-      it_max: optional round cap (defaults to a safe 2+log2(V) bound —
-        label propagation with full pointer jumping contracts label trees
-        to stars every round, so the component minimum spreads in
-        logarithmically many rounds).
+      it_max: optional round cap.  Defaults to V: the early-exit
+        ``changed`` test makes typical runs stop after O(log V)-ish
+        rounds, but the doubling from pointer jumping is NOT a star
+        contraction per round — snake-shaped components at high cut
+        densities were measured to need more than the former
+        ``2 log2(V) + 8`` bound (560 instead of the true 558 components
+        on a 96x96 grid at 45% active edges), and an under-converged
+        labeling is silently wrong.  Propagation alone converges within
+        the component diameter <= V, so V is a hard guarantee.
     """
     v = graph.num_vertices
     if it_max is None:
-        it_max = 2 * int(np.ceil(np.log2(max(v, 2)))) + 8
+        it_max = v
     sentinel = jnp.asarray(v, jnp.int32)  # > every real label
 
     def propagate(l):

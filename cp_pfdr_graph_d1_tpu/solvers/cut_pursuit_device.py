@@ -161,7 +161,21 @@ def _device_cut(graph: GraphD1, active, c, tol, it_max: int,
 @jax.jit
 def _device_components(graph: GraphD1, active):
     """Labels of the inactive-(nonzero)-edge components, compacted to
-    first-encounter order on device; returns (cv, num_comp, firsts)."""
+    first-encounter order on device; returns (cv, num_comp, firsts).
+
+    Stencil containers route through the fused rolls-only kernel with
+    gather-free double-sort compaction (:mod:`..ops.components_fused`) —
+    the generic path's ``l[l]`` pointer-jump gather is element-serial on
+    the TPU backend."""
+    from ..ops.components_fused import (device_components_stencil_fused,
+                                        supports_fused_components)
+    fs = getattr(graph, "field_shape", None)
+    if (fs is not None and getattr(graph, "axis_name", None) is None
+            and not hasattr(graph, "halo")
+            and supports_fused_components(graph.num_vertices,
+                                          len(graph.shifts))):
+        return device_components_stencil_fused(
+            graph, active, interpret=jax.default_backend() != "tpu")
     mask = ~active & (graph.la_d1 > 0)
     roots = connected_components_device(graph, mask)
     firsts = roots == jnp.arange(graph.num_vertices, dtype=jnp.int32)

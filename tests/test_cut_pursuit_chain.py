@@ -269,3 +269,37 @@ def test_banded_plan_device_matches_host():
     lul = np.asarray(lul).reshape(-1)
     rec = ((lur + s0) * 128 + lul).astype(np.int32)
     np.testing.assert_array_equal(rec, reu_s)
+
+
+def test_components_high_density_converges():
+    """Regression: the generic device components' former round cap
+    (2 log2 V + 8) under-converged on snake-shaped components at high
+    cut densities (560 instead of 558 components on a 96x96 grid at 45%
+    active) — both the generic and the fused path must match scipy."""
+    from cp_pfdr_graph_d1_tpu.ops.components_fused import \
+        device_components_stencil_fused
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_common import \
+        connected_components
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_device import \
+        _device_components
+
+    side = 48
+    sgc = StencilGraphD1.create((side, side), {(0, 1): 0.3, (1, 0): 0.3},
+                                dtype=jnp.float32)
+    rr = np.random.default_rng(5)
+    act_np = rr.random(sgc.num_edges) < 0.45
+    eu = np.asarray(sgc.eu)
+    ev = np.asarray(sgc.ev)
+    la = np.asarray(sgc.la_d1)
+    nc_true, cv_true = connected_components(side * side, eu, ev,
+                                            ~act_np & (la > 0))
+    cvf, ncf, _ = device_components_stencil_fused(sgc, jnp.asarray(act_np),
+                                                  interpret=True)
+    assert int(ncf) == nc_true
+    np.testing.assert_array_equal(np.asarray(cvf), cv_true)
+    keep = la > 0
+    g = GraphD1.create(eu[keep], ev[keep], la[keep],
+                       num_vertices=side * side, dtype=jnp.float32)
+    cvg, ncg, _ = _device_components(g, jnp.asarray(act_np[keep]))
+    assert int(ncg) == nc_true
+    np.testing.assert_array_equal(np.asarray(cvg), cv_true)

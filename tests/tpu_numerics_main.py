@@ -24,7 +24,21 @@ toggled inside the TPU process.  Checks, all vs those f64 truths:
    split3 single-pass value dots and merged index dots) — fixed-iteration
    PFDR solve vs the staged f64 iteration, objective and iterate;
 3. the staged (XLA while_loop) f32 path on TPU — guards the operator
-   ADT's HIGHEST-precision products against regressions to MXU default.
+   ADT's HIGHEST-precision products against regressions to MXU default;
+4. the STENCIL fused iteration kernel (``ops/stencil_fused.py``) —
+   fixed-iteration PFDR vs the staged f64 truth;
+5. the STENCIL SIMPLEX fused kernel (``ops/stencil_fused_simplex.py``,
+   K = 4 incl. the sort-free Michelot projection) vs staged f64;
+6. the CIRCULANT fused kernel (``ops/circulant_fused.py``, split3
+   one-hot remainder machinery) on the same edges vs the same truth;
+7. the HALO RDMA kernel (``ops/halo_fused.py``) as a 1-shard
+   self-copy ring vs the staged path on chip;
+8. the fused PDHG MIN-CUT and COMPONENTS kernels
+   (``ops/mincut_fused.py`` / ``ops/components_fused.py``) vs their
+   staged twins on chip (cut objective within the shared certificate,
+   labels bit-equal);
+9. the CHAINED outer loop (``solvers/cut_pursuit_chain.py``, incl. the
+   device-built banded plan) — end-to-end objective at the same gate.
 
 Oracle contract: SURVEY §4(a) — objective at convergence within the
 reference tolerance; the f64 staged/host-native solvers used as truth are
@@ -116,7 +130,33 @@ def stage_cpu():
         vprox=VertexProx(kind="l1", positivity=True), lipsch=lip,
         opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=400, fused="off"))
     x_s = np.asarray(res_s.x)[:v2]
-    np.savez(TRUTH_PATH, f64=f64, x_s=x_s, lip=lip)
+
+    # stencil-container truth on the 96x96 problem (same edges as the
+    # GraphD1 above; the container changes the execution path, not the
+    # math)
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+    sg64 = StencilGraphD1.create((96, 96), {(0, 1): 2e-3, (1, 0): 2e-3},
+                                 dtype=jnp.float64)
+    lip96 = float(np.linalg.eigvalsh((a @ a.T).astype(np.float64))[-1])
+    res_sg = pfdr_quadratic_d1(
+        DenseOp(jnp.asarray(a, jnp.float64)), jnp.asarray(y, jnp.float64),
+        sg64, la_l1=jnp.asarray(la_l1, jnp.float64),
+        vprox=VertexProx(kind="l1", positivity=True), lipsch=lip96,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=400, fused="off"))
+    x_sg = np.asarray(res_sg.x)
+
+    # multi-label truth, K = 4 on the same grid
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import \
+        pfdr_loss_d1_simplex
+    rq = np.random.default_rng(11)
+    q4 = rq.dirichlet(np.full(4, 0.7), size=96 * 96).astype(np.float64)
+    res_sx = pfdr_loss_d1_simplex(
+        sg64, jnp.asarray(q4), al=1.0,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=300, fused="off"))
+    p_sx = np.asarray(res_sx.p)
+
+    np.savez(TRUTH_PATH, f64=f64, x_s=x_s, lip=lip, x_sg=x_sg,
+             lip96=lip96, q4=q4, p_sx=p_sx)
     print(f"cpu truths written: cp objective {f64:.6g}", flush=True)
 
 
@@ -202,6 +242,126 @@ def stage_tpu():
     relt = abs(ft - fs) / max(abs(fs), 1e-12)
     check("staged-f32-tpu-vs-f64", relt < 1e-4,
           f"objective rel {relt:.3g} (f32 {ft:.6g} / f64 {fs:.6g})")
+
+    # -- 4. stencil fused iteration kernel vs staged f64 -------------------
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+    x_sg = truth["x_sg"]
+    lip96 = float(truth["lip96"])
+    sg = StencilGraphD1.create((96, 96), {(0, 1): 2e-3, (1, 0): 2e-3},
+                               dtype=jnp.float32)
+    res_st = pfdr_quadratic_d1(
+        op, obs, sg, la_l1=jnp.asarray(la_l1),
+        vprox=VertexProx(kind="l1", positivity=True), lipsch=lip96,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=400, fused="auto"))
+    fs96 = obj(x_sg)
+    fst = obj(np.asarray(res_st.x))
+    rel = abs(fst - fs96) / max(abs(fs96), 1e-12)
+    check("fused-stencil-vs-staged-f64", rel < 1e-4,
+          f"objective rel {rel:.3g} (f32 {fst:.6g} / f64 {fs96:.6g})")
+
+    # -- 5. stencil simplex fused kernel (K = 4) vs staged f64 -------------
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import \
+        pfdr_loss_d1_simplex
+    q4 = truth["q4"].astype(np.float32)
+    p_sx = truth["p_sx"]
+    res_sx = pfdr_loss_d1_simplex(
+        sg, jnp.asarray(q4), al=1.0,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=300, fused="auto"))
+    p_f = np.asarray(res_sx.p)
+    perr = float(np.max(np.abs(p_f - p_sx)))
+    check("fused-simplex-vs-staged-f64", perr < 5e-4,
+          f"iterate max-abs {perr:.3g} after 300 its")
+
+    # -- 6. circulant fused kernel (split3 path) on the same edges ---------
+    from cp_pfdr_graph_d1_tpu.circulant import CirculantGraphD1
+    cg = CirculantGraphD1.create(eu, ev, la_d1, num_vertices=96 * 96,
+                                 dtype=jnp.float32)
+    res_c = pfdr_quadratic_d1(
+        op, obs, cg, la_l1=jnp.asarray(la_l1),
+        vprox=VertexProx(kind="l1", positivity=True), lipsch=lip96,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=400, fused="auto"))
+    fc = obj(np.asarray(res_c.x)[:96 * 96])
+    relc = abs(fc - fs96) / max(abs(fs96), 1e-12)
+    check("fused-circulant-vs-staged-f64", relc < 1e-4,
+          f"objective rel {relc:.3g} (f32 {fc:.6g} / f64 {fs96:.6g})")
+
+    # -- 7. halo RDMA kernel as a 1-shard self-copy ring -------------------
+    # (its lane-roll slices need the field width 128-aligned; separate
+    # 64x128 problem, compared against the staged f32 path — which check
+    # 3/4 tie to the f64 truth)
+    from jax.sharding import Mesh
+    from cp_pfdr_graph_d1_tpu.parallel import (pfdr_quadratic_d1_halo,
+                                               shard_stencil_problem)
+    hh, hw, hn = 64, 128, 32
+    rh = np.random.default_rng(9)
+    a_h = (rh.standard_normal((hn, hh * hw)) / np.sqrt(hn)
+           ).astype(np.float32)
+    y_h = rh.standard_normal(hn).astype(np.float32)
+    sgh = StencilGraphD1.create((hh, hw), {(0, 1): 0.02, (1, 0): 0.02},
+                                dtype=jnp.float32)
+    la_l1h = np.full(hh * hw, 0.02, np.float32)
+    liph = float(np.linalg.eigvalsh((a_h @ a_h.T).astype(np.float64))[-1])
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("dp",))
+    prob = shard_stencil_problem(a_h, y_h, sgh, 1)
+    res_h = pfdr_quadratic_d1_halo(
+        prob, mesh1, la_l1=la_l1h,
+        vprox=VertexProx(kind="l1", positivity=True), lipsch=liph,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=120, fused="on"))
+    res_hr = pfdr_quadratic_d1(
+        DenseOp(jnp.asarray(a_h)), jnp.asarray(y_h), sgh,
+        la_l1=jnp.asarray(la_l1h),
+        vprox=VertexProx(kind="l1", positivity=True), lipsch=liph,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=120, fused="off"))
+    herr = float(np.max(np.abs(np.asarray(res_h.x)
+                               - np.asarray(res_hr.x))))
+    check("halo-rdma-1ring-vs-staged", herr < 3e-4,
+          f"iterate max-abs {herr:.3g} after 120 its")
+
+    # -- 8. fused min-cut / components kernels vs staged twins -------------
+    from cp_pfdr_graph_d1_tpu.maxflow.device import cut_value
+    from cp_pfdr_graph_d1_tpu.ops.components_fused import \
+        device_components_stencil_fused
+    from cp_pfdr_graph_d1_tpu.ops.mincut_fused import \
+        device_cut_stencil_fused
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_device import (
+        _device_components, _device_cut)
+    sgc = StencilGraphD1.create((96, 96), {(0, 1): 0.3, (1, 0): 0.3},
+                                dtype=jnp.float32)
+    rr = np.random.default_rng(5)
+    act = jnp.asarray(rr.random(sgc.num_edges) < 0.45)
+    cc = jnp.asarray(rr.standard_normal(sgc.num_vertices)
+                     .astype(np.float32))
+    tol = jnp.asarray(1e-6, jnp.float32)
+    _, g1, b1, xc1, _ = _device_cut(sgc, act, cc, tol, 100_000, 250)
+    _, g2, b2, xc2, _ = device_cut_stencil_fused(sgc, act, cc, tol,
+                                                 100_000, 250)
+    eu_c, ev_c = np.asarray(sgc.eu), np.asarray(sgc.ev)
+    w_np = np.where(np.asarray(act), 0.0, np.asarray(sgc.la_d1))
+    cb = np.asarray(jnp.clip(cc, -b1, b1), np.float64)
+    v1 = cut_value(eu_c, ev_c, w_np, cb, np.asarray(xc1) > 0.5)
+    v2 = cut_value(eu_c, ev_c, w_np, cb, np.asarray(xc2) > 0.5)
+    ok_cut = (abs(v1 - v2) <= 2 * 1e-6 * float(b1) + 1e-3
+              and float(g2) <= 1e-6 * float(b2))
+    check("fused-mincut-vs-staged", ok_cut,
+          f"cut objectives {v1:.6g} / {v2:.6g}, gap {float(g2):.3g}")
+    cvs, ncs, _ = _device_components(sgc, act)
+    cvf, ncf, _ = device_components_stencil_fused(sgc, act)
+    ok_comp = (int(ncs) == int(ncf)
+               and bool(np.array_equal(np.asarray(cvs), np.asarray(cvf))))
+    check("fused-components-vs-staged", ok_comp,
+          f"{int(ncs)} vs {int(ncf)} components, labels "
+          f"{'equal' if ok_comp else 'DIFFER'}")
+
+    # -- 9. chained outer loop end-to-end ----------------------------------
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit import \
+        cp_quadratic_d1 as _cp
+    opt_chain = CPOptions(dif_tol=1e-4, it_max=12, pfdr=PFDROptions(**PF),
+                          cut="device", chain="auto", cut_tol=1e-6,
+                          cut_it_max=100_000)
+    res_ch = _cp(op, obs, sg, la_l1=la_l1, positivity=True, opt=opt_chain)
+    fch = obj(np.asarray(res_ch.rx)[np.asarray(res_ch.cv)])
+    check("cp-chained-loop", fch <= f64 * (1 + 1e-3),
+          f"objective {fch:.6g} vs f64 {f64:.6g}")
 
     if FAILURES:
         print(f"FAILED: {FAILURES}", file=sys.stderr)
