@@ -240,7 +240,7 @@ def _whole_solve_kind(op: QuadOp, graph) -> str | None:
 
 def _whole_solve(op: QuadOp, obs, graph, vprox: VertexProx,
                  pre: Precond, x0, opt: PFDROptions, interpret: bool,
-                 op_kind: str):
+                 op_kind: str, zuzv0=None, it0=0):
     """Dispatches the complete solve to the one-kernel Pallas loop
     (:func:`..ops.solve_fused.fused_pfdr_solve`); same update math as the
     staged loop below."""
@@ -284,7 +284,10 @@ def _whole_solve(op: QuadOp, obs, graph, vprox: VertexProx,
         op_b = jnp.zeros((8, 128), dt)
         aty = vfield(obs)
 
-    zu0, zv0 = graph.gather_endpoints(x0)
+    if zuzv0 is None:
+        zu0, zv0 = graph.gather_endpoints(x0)
+    else:
+        zu0, zv0 = zuzv0  # resume: auxiliary pairs from a saved state
 
     def efield(a):
         return a.reshape(eshape)
@@ -299,12 +302,12 @@ def _whole_solve(op: QuadOp, obs, graph, vprox: VertexProx,
         nt=p.num_tiles, tile=p.tile, wd8=p.wd8, v8=v8, np_pad=np_pad,
         op_kind=op_kind, rho=float(opt.rho), vkind=vprox.kind,
         positivity=vprox.positivity, lo=float(vprox.lo),
-        hi=float(vprox.hi), it_max=int(opt.it_max),
+        hi=float(vprox.hi), it_max=int(opt.it_max) - it0,
         dif_tol2=float(opt.dif_tol) ** 2, eps=eps, rv=nv,
         interpret=interpret)
     x = xn.reshape(-1)[:nv]
     e = graph.num_edges
-    return x, zun.reshape(-1)[:e], zvn.reshape(-1)[:e], it, dif
+    return x, zun.reshape(-1)[:e], zvn.reshape(-1)[:e], it + it0, dif
 
 
 def _full_obj(op: QuadOp, x, obs, graph: GraphD1, la_l1, vprox: VertexProx):
@@ -378,6 +381,8 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
         pre = initial_precondition(op, obs, graph, la_l1, opt.rho, lipsch,
                                    ltype)
 
+    if True:
+
         # whole-solve Pallas loop (banded graphs; no reconditioning /
         # monitor / verbose / resume): the ENTIRE iteration loop runs
         # inside one kernel with all state VMEM-resident — zero dispatch
@@ -438,7 +443,9 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                 try:
                     x, zu, zv, it, dif = _whole_solve(
                         op, obs, graph, vprox, pre, x0, opt, interp,
-                        whole_kind)
+                        whole_kind,
+                        zuzv0=(zu, zv) if state0 is not None else None,
+                        it0=(state0.it if state0 is not None else 0))
                     jax.block_until_ready(x)
                 except Exception as ex:  # noqa: BLE001
                     # VMEM admission is an estimate; Mosaic's allocator is
@@ -463,7 +470,8 @@ def pfdr_quadratic_d1(op: QuadOp, obs, graph: GraphD1, *,
                             it=it.astype(jnp.int32))
                     return res
 
-        zu, zv = graph.gather_endpoints(x0)
+        if state0 is None:
+            zu, zv = graph.gather_endpoints(x0)
 
     # fused Pallas iteration (stencil graphs): one kernel for the edge +
     # vertex stage instead of ~10F small XLA fusions; vertex-sharded halo

@@ -230,9 +230,12 @@ def _ml_labels(p):
 
 
 def _simplex_fused_loop(graph, q, p0, la_f, pre, *, al, opt, has_laf,
-                        label_mode, interpret):
+                        label_mode, interpret, state0=None,
+                        return_state=False):
     """Whole-iteration fused Pallas loop (stencil graphs; no
-    reconditioning/monitoring — callers check)."""
+    reconditioning/monitoring — callers check).  Resumable: ``state0``
+    re-enters with the saved auxiliary pairs and evolution reference, so
+    a checkpointed long solve keeps the one-kernel rate."""
     from ..ops.stencil_fused_simplex import fused_stencil_simplex_iteration
 
     h, w = graph.field_shape
@@ -247,7 +250,10 @@ def _simplex_fused_loop(graph, q, p0, la_f, pre, *, al, opt, has_laf,
     def te(a):  # [E, K] (family-major E = F*V) -> [F, K, H, W]
         return a.reshape(f, h * w, k).transpose(0, 2, 1).reshape(f, k, h, w)
 
-    zu0, zv0 = graph.gather_endpoints(p0)
+    if state0 is not None:
+        zu0, zv0 = state0.zu, state0.zv
+    else:
+        zu0, zv0 = graph.gather_endpoints(p0)
     p3 = tv(p0)
     q3 = tv(q)
     laf3 = la_f.reshape(1, h, w) if has_laf else jnp.zeros((1, h, w), dtype)
@@ -255,7 +261,10 @@ def _simplex_fused_loop(graph, q, p0, la_f, pre, *, al, opt, has_laf,
     gap3 = tv(pre.ga_proj)
     args_e = tuple(te(a) for a in (zu0, zv0, pre.wu, pre.wv, pre.w_d1u,
                                    pre.w_d1v, pre.th_d1))
-    if label_mode:
+    if state0 is not None:
+        prev = (state0.prev.T.reshape(-1, h, w) if not label_mode
+                else state0.prev.T.reshape(1, h, w))
+    elif label_mode:
         prev = jnp.argmax(p3, axis=0).astype(dtype)[None]
     else:
         prev = p3
@@ -273,13 +282,26 @@ def _simplex_fused_loop(graph, q, p0, la_f, pre, *, al, opt, has_laf,
         dif = dif_sum if label_mode else dif_sum / vcount
         return p3, prev, zu, zv, dif, it + 1
 
-    state = (p3, prev, args_e[0], args_e[1],
-             jnp.asarray(max(opt.dif_tol, opt.dif_rcd), dtype),
-             jnp.asarray(0, jnp.int32))
+    state = (p3, prev,
+             args_e[0], args_e[1],
+             (state0.dif if state0 is not None
+              else jnp.asarray(max(opt.dif_tol, opt.dif_rcd), dtype)),
+             (state0.it if state0 is not None
+              else jnp.asarray(0, jnp.int32)))
     p3, prev, zu, zv, dif, it = jax.lax.while_loop(cond, body, state)
     p = p3.reshape(k, h * w).T
-    return SimplexResult(p=p, it=it, obj=jnp.zeros((1,), dtype),
-                         dif=jnp.zeros((1,), dtype))
+    res = SimplexResult(p=p, it=it, obj=jnp.zeros((1,), dtype),
+                        dif=jnp.zeros((1,), dtype))
+    if return_state:
+        def ev(a):  # [F, K, H, W] -> [E, K]
+            return a.reshape(f, k, h * w).transpose(0, 2, 1).reshape(-1, k)
+
+        prev_flat = (prev.reshape(1, h * w).T if label_mode
+                     else prev.reshape(k, h * w).T)
+        return res, SimplexSolveState(
+            p=p, zu=ev(zu), zv=ev(zv), pre=pre, prev=prev_flat, dif=dif,
+            dif_rcd=jnp.asarray(0.0, dtype), it=it)
+    return res
 
 
 @partial(jax.jit, static_argnames=("al", "opt", "monitor", "has_laf",
@@ -304,7 +326,6 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
     # into one kernel
     if (opt.fused != "off"
             and (monitor or opt.verbose != 0 or opt.dif_rcd != 0)
-            and state0 is None and not return_state
             and getattr(graph, "supports_fused", False)
             # only warn when the unmonitored run would actually take the
             # fused route (same backend/dtype admission as below)
@@ -318,17 +339,19 @@ def _pfdr_simplex_impl(graph: GraphD1, q, p0, la_f, *, al: float,
             "kernel, which is faster — do not compare timings across the "
             "two", RuntimeWarning, stacklevel=2)
     if (opt.fused != "off" and opt.dif_rcd == 0 and not monitor
-            and opt.verbose == 0 and state0 is None and not return_state
+            and opt.verbose == 0
             and getattr(graph, "supports_fused", False)):
         if opt.fused == "on":
             return _simplex_fused_loop(
                 graph, q, p0, la_f, pre, al=al, opt=opt, has_laf=has_laf,
                 label_mode=label_mode,
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                state0=state0, return_state=return_state)
         if jax.default_backend() == "tpu" and dtype == jnp.float32:
             return _simplex_fused_loop(
                 graph, q, p0, la_f, pre, al=al, opt=opt, has_laf=has_laf,
-                label_mode=label_mode, interpret=False)
+                label_mode=label_mode, interpret=False,
+                state0=state0, return_state=return_state)
 
     rho = jnp.asarray(opt.rho, dtype)
     vcount = graph.vertex_count_global()

@@ -139,3 +139,76 @@ def test_simplex_inner_state_kill_resume(tmp_path):
     assert int(res2.it) == 40
     np.testing.assert_allclose(np.asarray(res2.p), np.asarray(full.p),
                                rtol=0, atol=1e-14)
+
+
+def test_whole_solve_kernel_resume_exact():
+    """A checkpointed whole-solve-kernel run resumes INSIDE the kernel
+    (not the ~20-dispatch staged loop) and reproduces the uninterrupted
+    trajectory bitwise (r05: the z state re-enters the kernel)."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import (DenseOp, PFDROptions, VertexProx,
+                                      pfdr_quadratic_d1)
+    from cp_pfdr_graph_d1_tpu.banded_graph import BandedGraphD1
+
+    r = np.random.default_rng(0)
+    h = w = 24
+    v = h * w
+    n = 16
+    idx = np.arange(v).reshape(h, w)
+    eu = np.concatenate([idx[:, :-1].ravel(),
+                         idx[:-1, :].ravel()]).astype(np.int32)
+    ev = np.concatenate([idx[:, 1:].ravel(),
+                         idx[1:, :].ravel()]).astype(np.int32)
+    a = (r.standard_normal((n, v)) / np.sqrt(n)).astype(np.float32)
+    y = r.standard_normal(n).astype(np.float32)
+    bg = BandedGraphD1.create(eu, ev, np.full(eu.shape, 0.05, np.float32),
+                              num_vertices=v, dtype=jnp.float32,
+                              round_wd8=True)
+    lip = float(np.linalg.svd(a, compute_uv=False)[0] ** 2)
+    kw = dict(la_l1=jnp.full((v,), 0.02, jnp.float32),
+              vprox=VertexProx(kind="l1", positivity=True), lipsch=lip)
+    op = DenseOp(jnp.asarray(a))
+    full = pfdr_quadratic_d1(
+        op, jnp.asarray(y), bg, **kw,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=200, fused="on"))
+    _, st = pfdr_quadratic_d1(
+        op, jnp.asarray(y), bg, **kw,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=80, fused="on"),
+        return_state=True)
+    rest = pfdr_quadratic_d1(
+        op, jnp.asarray(y), bg, **kw,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=200, fused="on"),
+        state0=st)
+    assert int(rest.it) == int(full.it) == 200
+    np.testing.assert_array_equal(np.asarray(rest.x), np.asarray(full.x))
+
+
+def test_simplex_fused_resume_exact():
+    """Same contract for the multi-label fused whole-iteration loop."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import PFDROptions
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import \
+        pfdr_loss_d1_simplex
+    from cp_pfdr_graph_d1_tpu.stencil import StencilGraphD1
+
+    r = np.random.default_rng(1)
+    h = w = 24
+    v = h * w
+    sg = StencilGraphD1.create((h, w), {(0, 1): 0.3, (1, 0): 0.3},
+                               dtype=jnp.float32)
+    q = r.dirichlet(np.full(4, 0.7), size=v).astype(np.float32)
+    full = pfdr_loss_d1_simplex(
+        sg, jnp.asarray(q), al=1.0,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=120, fused="on"))
+    _, st = pfdr_loss_d1_simplex(
+        sg, jnp.asarray(q), al=1.0,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=50, fused="on"),
+        return_state=True)
+    rest = pfdr_loss_d1_simplex(
+        sg, jnp.asarray(q), al=1.0,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=120, fused="on"),
+        state0=st)
+    assert int(rest.it) == int(full.it) == 120
+    np.testing.assert_array_equal(np.asarray(rest.p), np.asarray(full.p))
