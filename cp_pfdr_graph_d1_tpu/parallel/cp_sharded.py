@@ -25,11 +25,15 @@ than one chip's HBM:
 
 Host traffic per CP iteration is O(V) for the label fetch + component id
 upload and o(V) for everything else; no O(E) array ever leaves the
-devices.  Scope: one controlling process (any number of its devices) —
-the boundary-merge fetch reads the global label array, which would need
-``multihost_utils.process_allgather`` on a process-spanning mesh; wiring
-that (and moving the union-find on device) is the designed extension for
-multi-host pods.  Reference stages replaced:
+devices.  Process-spanning meshes are supported (r05): the label /
+boundary-pair / compacted-triple fetches go through
+``multihost_utils.process_allgather`` when ``jax.process_count() > 1``,
+the boundary union-find and the replicated reduced solve run identically
+on every process (bit-identical f64 host arithmetic, same contract as
+``cp_dist``), and uploads go through ``put_sharded`` (each process
+places only its addressable shards) — validated by the 2-process x
+4-device gloo stage of ``tests/test_multihost.py``.  Reference stages
+replaced:
 ``/root/reference/src/CP_PFDR_graph_quadratic_d1_l1.cpp:411-549`` (cuts),
 ``:570-596`` (DFS components), ``:607-661`` (contraction).
 """
@@ -101,6 +105,18 @@ def _halo_graph(g: _Geom, la_loc):
 
 def _psum(x, axis):
     return jax.lax.psum(x, axis)
+
+
+def _fetch_sharded(arr):
+    """Host copy of a leading-axis-sharded global array; on a
+    process-spanning mesh each process holds only its shards, so the
+    fetch is an allgather (every process needs the full array for the
+    replicated combinatorics)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(arr,
+                                                            tiled=True))
+    return np.asarray(jax.device_get(arr))
 
 
 # ---------------------------------------------------------------------------
@@ -522,7 +538,7 @@ def cp_quadratic_d1_sharded(obs, graph: StencilGraphD1, mesh: Mesh, *,
                     out_specs=(P(axis), P(axis), P(axis), P(axis)),
                     check_vma=False)
             out = _tri_stages[cap](la_l, act, cv_l)
-            cnt = np.asarray(jax.device_get(out[3]))
+            cnt = _fetch_sharded(out[3])
             if not np.any(cnt > cap):
                 return out
             tri_cap[0] = min(max(2 * cap, int(cnt.max())), g.e_loc)
@@ -565,17 +581,17 @@ def cp_quadratic_d1_sharded(obs, graph: StencilGraphD1, mesh: Mesh, *,
 
         # -- components: sharded pointer jumping + host boundary merge ----
         lab_d, pairs_d, valid_d = comp_stage(la_dev, active_dev)
-        labs = np.asarray(jax.device_get(lab_d))
-        pairs = np.asarray(jax.device_get(pairs_d))
-        valid = np.asarray(jax.device_get(valid_d))
+        labs = _fetch_sharded(lab_d)
+        pairs = _fetch_sharded(pairs_d)
+        valid = _fetch_sharded(valid_d)
         num_comp, cv = _merge_boundary(labs, pairs, valid, g.v_loc)
 
         # -- contraction: sharded compaction + host merge ------------------
         cv_dev = sh(vblocks(cv))
         tu_d, tv_d, tw_d, _cnt_d = tri_stage(la_dev, active_dev, cv_dev)
-        tu = np.asarray(jax.device_get(tu_d)).reshape(-1)
-        tv = np.asarray(jax.device_get(tv_d)).reshape(-1)
-        tw = np.asarray(jax.device_get(tw_d)).reshape(-1).astype(np.float64)
+        tu = _fetch_sharded(tu_d).reshape(-1)
+        tv = _fetch_sharded(tv_d).reshape(-1)
+        tw = _fetch_sharded(tw_d).reshape(-1).astype(np.float64)
         keep = tw > 0
         reu, rev, rla = _reduce_pairs(tu[keep], tv[keep], tw[keep],
                                       num_comp, eps)
@@ -628,7 +644,7 @@ def cp_quadratic_d1_sharded(obs, graph: StencilGraphD1, mesh: Mesh, *,
             print(f"CP(sharded) it {it}: {num_comp} components, "
                   f"dif {dif:.3g}")
 
-    active_host = np.asarray(jax.device_get(active_dev)).reshape(-1)
+    active_host = _fetch_sharded(active_dev).reshape(-1)
     return CPResult(cv=cv, rx=rx, it=it, time=np.asarray(times),
                     obj=np.zeros(0, dtype), dif=np.asarray(difs),
                     state=CPState(active=active_host, cv=cv, rx=rx))

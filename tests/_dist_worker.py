@@ -140,6 +140,50 @@ def main():
     err_ml = float(np.max(np.abs(p_dist - p_ref)))
     print(f"[{pid}] ml_dist_err={err_ml:.3g}", flush=True)
     assert err_ml <= 1e-3, f"ml_dist mismatch {err_ml}"
+
+    # -- sharded-graph DEVICE cut-pursuit across processes -----------------
+    # (the r04 capstone, now process-spanning): O(E) cut/contraction state
+    # sharded over the 2x4 global mesh, label/triple fetches via
+    # process_allgather, replicated host combinatorics — cv must agree
+    # bit-identically across processes and the solution must match the
+    # single-device device-cut solver
+    from cp_pfdr_graph_d1_tpu.parallel import cp_quadratic_d1_sharded
+    side = 64
+    r2 = np.random.default_rng(5)
+    xt = np.zeros((side, side), np.float32)
+    xt[8:24, 8:24] = 1.0
+    xt[40:56, 24:56] = -0.6
+    y2 = (xt + 0.12 * r2.standard_normal((side, side))
+          ).astype(np.float32).ravel()
+    sg2 = cp.StencilGraphD1.create((side, side),
+                                   {(0, 1): 0.3, (1, 0): 0.3},
+                                   dtype=jnp.float32)
+    skw = dict(dif_tol=1e-4, it_max=4,
+               pfdr=cp.PFDROptions(rho=1.8, dif_tol=1e-6, it_max=2000),
+               cut_tol=1e-6, cut_it_max=100_000, inexact="off")
+    res_sh = cp_quadratic_d1_sharded(y2, sg2, mesh,
+                                     opt=cp.CPOptions(**skw))
+    res_1d = cp_quadratic_d1(
+        cp.IdentityOp(), jnp.asarray(y2), sg2,
+        opt=cp.CPOptions(**skw, cut="device", chain="off"))
+    cv_sh = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(res_sh.cv), tiled=False))
+    assert all(np.array_equal(cv_sh[k_], cv_sh[0])
+               for k_ in range(cv_sh.shape[0])), "sharded cv diverged"
+    x_sh = res_sh.rx[res_sh.cv]
+    x_1d = np.asarray(res_1d.rx)[np.asarray(res_1d.cv)]
+
+    def tv_obj(x):
+        x = np.asarray(x, np.float64)
+        d = x - y2.astype(np.float64)
+        xg = x.reshape(side, side)
+        return (0.5 * d @ d
+                + np.sum(0.3 * np.abs(xg[:, 1:] - xg[:, :-1]))
+                + np.sum(0.3 * np.abs(xg[1:, :] - xg[:-1, :])))
+
+    err_sh = abs(tv_obj(x_sh) - tv_obj(x_1d)) / max(tv_obj(x_1d), 1e-12)
+    print(f"[{pid}] cp_sharded_obj_rel={err_sh:.3g}", flush=True)
+    assert err_sh <= 1e-3, f"cp_sharded objective mismatch {err_sh}"
     print(f"[{pid}] MULTIHOST_OK", flush=True)
 
 
