@@ -233,6 +233,49 @@ def bench_simplex(oracle):
             "edge-updates/s", vs)
 
 
+def bench_unstructured_simplex(oracle):
+    """Multi-label (K=4) PFDR on the unstructured Delaunay mesh through
+    the K-axis circulant fused kernel (r05: previously this fell back to
+    the staged incidence-gather path)."""
+    import jax.numpy as jnp
+
+    from cp_pfdr_graph_d1_tpu import PFDROptions
+    from cp_pfdr_graph_d1_tpu.circulant import CirculantGraphD1
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import pfdr_loss_d1_simplex
+    k = 4
+    eu, ev, la_d1, _, _, _ = build_mesh_problem()
+    v = V_SIDE * V_SIDE
+    r = np.random.default_rng(13)
+    q = r.dirichlet(np.full(k, 0.7), size=v).astype(np.float32)
+    la_ml = np.full(eu.shape, 0.5, np.float32)
+    graph = CirculantGraphD1.create(eu, ev, la_ml, num_vertices=v)
+    assert graph.supports_fused_simplex(k)
+    q_dev = jnp.asarray(q)
+
+    def solve(iters):
+        res = pfdr_loss_d1_simplex(
+            graph, q_dev, al=1.0,
+            opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=iters))
+        return np.asarray(res.p)
+
+    p_ours = solve(ITERS)
+    t_iter = _time_solve(solve, 4000)
+    ups = len(eu) / t_iter
+    vs = 0.0
+    if oracle is not None:
+        t0 = time.perf_counter()
+        p_ref, it = oracle.pfdr_simplex(q, 1.0, eu, ev, la_ml,
+                                        rho=1.5, difTol=0.0, itMax=ITERS)
+        dt = time.perf_counter() - t0
+        vs = ups / (len(eu) * it / dt)
+        err = np.max(np.abs(p_ours - p_ref))
+        if err > 0.05:
+            print(f"WARNING: unstructured simplex mismatch abs={err:.3g}",
+                  file=sys.stderr)
+    return ("multi-label PFDR edge-updates/s (K=4 unstructured Delaunay, "
+            "circulant container)", ups, "edge-updates/s", vs)
+
+
 def bench_cut_pursuit(oracle):
     """End-to-end cut-pursuit fused-LASSO solve, reference parameters,
     through the chained device-resident outer loop (r05: warm partition
@@ -513,6 +556,7 @@ def main():
     for fn, is_headline in ((bench_stencil, True),
                             (bench_unstructured, False),
                             (bench_simplex, False),
+                            (bench_unstructured_simplex, False),
                             (bench_cut_pursuit, False),
                             (bench_cut_pursuit_bounds, False),
                             (bench_cut_pursuit_simplex, False),

@@ -245,6 +245,15 @@ class CirculantGraphD1(GraphD1):
                 return False
         return True
 
+    def supports_fused_simplex(self, k: int) -> bool:
+        """True when the K-label fused circulant kernel applies
+        (:mod:`.ops.circulant_fused_simplex`): single-device container
+        whose ``(2K + ...)`` resident label planes fit the VMEM budget."""
+        from .ops.circulant_fused_simplex import max_fused_vertices_simplex
+        if self.axis_name is not None:
+            return False
+        return self.vv8 * 128 <= max_fused_vertices_simplex(k)
+
     def _dense_v(self, arr, dtype):
         v, vv = self.num_vertices, self.vv8 * 128
         a = jnp.broadcast_to(arr, (v,)).astype(dtype)

@@ -1,4 +1,5 @@
 from .cp_sharded import cp_quadratic_d1_sharded
+from .cp_sharded_simplex import cp_loss_d1_simplex_sharded
 from .cp_dist import (cp_loss_d1_simplex_dist, cp_quadratic_d1_dist,
                       shard_cp_quadratic_problem)
 from .dp import (DistDenseOp, ShardedQuadraticProblem,
@@ -11,7 +12,8 @@ from .halo import (ColShardDenseOp, HaloSimplexProblem, HaloStencilGraphD1,
 from .mesh import (initialize_distributed, make_hybrid_mesh, make_mesh,
                    put_sharded)
 
-__all__ = ["cp_loss_d1_simplex_dist", "cp_quadratic_d1_dist",
+__all__ = ["cp_loss_d1_simplex_dist", "cp_loss_d1_simplex_sharded",
+           "cp_quadratic_d1_sharded", "cp_quadratic_d1_dist",
            "shard_cp_quadratic_problem",
            "DistDenseOp", "ShardedQuadraticProblem",
            "ShardedSimplexProblem", "make_mesh", "make_hybrid_mesh",

@@ -123,14 +123,16 @@ def _fetch_sharded(arr):
 # sharded PDHG min-cut (the O(E * iters) compute, fully distributed)
 # ---------------------------------------------------------------------------
 
-def _pdhg_cut_sharded(graph, active, c, tol_rel, it_max: int,
+def _pdhg_cut_sharded(graph, w, c, tol_rel, it_max: int,
                       check_every: int, x0, z0, axis: str):
     """Sharded twin of ``maxflow.device._pdhg_min_cut``: identical
     iteration with all reductions psum'd over the shard axis; the
     duality-gap certificate is global, so a certified cut is exactly as
-    optimal as in the single-device solver."""
+    optimal as in the single-device solver.  ``w`` is the per-edge
+    capacity (callers zero out active edges, or supply the
+    Kolmogorov-Zabih expansion weights for the multi-label cuts);
+    returns the thresholded binary side, not the separated-edge mask."""
     dtype = graph.la_d1.dtype
-    w = jnp.where(active, 0.0, graph.la_d1)
     big = 1.0 + 2.0 * (_psum(jnp.sum(w), axis)
                        + _psum(jnp.sum(jnp.where(jnp.isfinite(c),
                                                  jnp.abs(c), 0.0)), axis))
@@ -181,9 +183,7 @@ def _pdhg_cut_sharded(graph, active, c, tol_rel, it_max: int,
              ts[0])
     x, _, z, _, gap, t_best = jax.lax.while_loop(cond, body, state)
     side = x > t_best
-    su, sv = graph.gather_endpoints(side)
-    sep = (su != sv) & ~active & (graph.la_d1 > 0)
-    return sep, gap, big, x, z
+    return side, gap, big, x, z
 
 
 # ---------------------------------------------------------------------------
@@ -238,16 +238,24 @@ def _stage_cut(y_loc, a_loc, la_loc, la_l1_loc, active, cv_loc, rx,
         c1 = jnp.where(x == hi, jnp.inf, dfs) if np.isfinite(hi) else dfs
         c2 = jnp.where(x == lo, jnp.inf, -dfs) if np.isfinite(lo) else -dfs
 
-    sep, gap1, big1, cx1, cz1 = _pdhg_cut_sharded(
-        graph, active, c1, cut_tol, cut_it_max, check_every, cx1, cz1,
+    w_cut = jnp.where(active, 0.0, graph.la_d1)
+    cuttable = ~active & (graph.la_d1 > 0)
+
+    def separated(side):
+        su, sv = graph.gather_endpoints(side)
+        return (su != sv) & cuttable
+
+    side1, gap1, big1, cx1, cz1 = _pdhg_cut_sharded(
+        graph, w_cut, c1, cut_tol, cut_it_max, check_every, cx1, cz1,
         g.axis)
+    sep = separated(side1)
     if differentiable:
         gap2, big2 = jnp.zeros_like(gap1), jnp.ones_like(big1)
     else:
-        sep2, gap2, big2, cx2, cz2 = _pdhg_cut_sharded(
-            graph, active, c2, cut_tol, cut_it_max, check_every, cx2, cz2,
+        side2, gap2, big2, cx2, cz2 = _pdhg_cut_sharded(
+            graph, w_cut, c2, cut_tol, cut_it_max, check_every, cx2, cz2,
             g.axis)
-        sep = sep | sep2
+        sep = sep | separated(side2)
     active = active | sep
     n_new = _psum(jnp.sum(sep.astype(jnp.int32)), g.axis)
     return active, n_new, jnp.stack([gap1, big1, gap2, big2]), \

@@ -570,3 +570,72 @@ def test_cp_sharded_bounds_and_restart():
     assert res_r.it <= 2
     np.testing.assert_array_equal(np.asarray(res_r.cv),
                                   np.asarray(res_s.cv))
+
+
+def test_cp_sharded_simplex_matches_single_device():
+    """Sharded-graph multi-label cut-pursuit (K-1 sharded PDHG expansion
+    cuts + sharded components/contraction, replicated reduced solve) vs
+    the single-device host solver: the contract is the OBJECTIVE (the
+    reference's own quality trace) plus near-complete ML-label agreement
+    — the two paths use different cut solvers (sharded PDHG vs exact
+    push-relabel) and reduced-solve precisions, so knife-edge vertices
+    can settle differently."""
+    from cp_pfdr_graph_d1_tpu import GraphD1
+    from cp_pfdr_graph_d1_tpu.parallel import cp_loss_d1_simplex_sharded
+    from cp_pfdr_graph_d1_tpu.solvers.cut_pursuit_simplex import \
+        cp_loss_d1_simplex
+    from cp_pfdr_graph_d1_tpu.solvers.pfdr_simplex import (d1_objective,
+                                                           loss_objective)
+
+    side, k = 48, 4
+    v = side * side
+    al = 0.5
+    r = np.random.default_rng(11)
+    labf = np.zeros((side, side), np.int64)
+    labf[6:18, 8:24] = 1
+    labf[30:42, 24:42] = 2
+    labf[20:28, 4:16] = 3
+    q = np.full((v, k), 0.1 / (k - 1), np.float32)
+    q[np.arange(v), labf.ravel()] = 0.9
+    q += 0.08 * r.random((v, k)).astype(np.float32)
+    q /= q.sum(axis=1, keepdims=True)
+    graph = StencilGraphD1.create((side, side), {(0, 1): 0.5, (1, 0): 0.5},
+                                  dtype=jnp.float32)
+    pf = PFDROptions(rho=1.5, dif_tol=1e-6, it_max=2000)
+    kw = dict(dif_tol=1.0, it_max=6, pfdr=pf, cut_tol=1e-6,
+              cut_it_max=60_000, inexact="off")
+    mesh = make_mesh(8)
+    res_s = cp_loss_d1_simplex_sharded(q, graph, mesh, al=al,
+                                       opt=CPOptions(**kw))
+
+    # oracle: host exact-cut solver on the real-edge COO of the same graph
+    eu_t = np.asarray(graph.eu)
+    ev_t = np.asarray(graph.ev)
+    la_t = np.asarray(graph.la_d1)
+    real = la_t > 0
+    g64 = GraphD1.create(eu_t[real], ev_t[real], la_t[real].astype(
+        np.float64), num_vertices=v, dtype=jnp.float64)
+    res_1 = cp_loss_d1_simplex(g64, jnp.asarray(q, jnp.float64), al=al,
+                               opt=CPOptions(**kw))
+
+    def objective(p):
+        p = jnp.asarray(np.asarray(p, np.float64))
+        return float(loss_objective(al, p, jnp.asarray(q, jnp.float64),
+                                    None) + d1_objective(g64, p))
+
+    p_s = res_s.rp[res_s.cv]
+    p_1 = np.asarray(res_1.rp)[np.asarray(res_1.cv)]
+    f_s, f_1 = objective(p_s), objective(p_1)
+    assert f_s <= f_1 * (1 + 1e-3), (f_s, f_1)
+    lab_s = np.argmax(p_s, axis=1)
+    lab_1 = np.argmax(p_1, axis=1)
+    assert (lab_s == lab_1).mean() >= 0.98
+
+    # warm restart: a second solve seeded with the first's state must
+    # terminate immediately (no new cut) with the same partition
+    res_r = cp_loss_d1_simplex_sharded(q, graph, mesh, al=al,
+                                       opt=CPOptions(**kw),
+                                       state=res_s.state)
+    assert res_r.it <= 2
+    np.testing.assert_array_equal(np.asarray(res_r.cv),
+                                  np.asarray(res_s.cv))

@@ -30,7 +30,10 @@ toggled inside the TPU process.  Checks, all vs those f64 truths:
 5. the STENCIL SIMPLEX fused kernel (``ops/stencil_fused_simplex.py``,
    K = 4 incl. the sort-free Michelot projection) vs staged f64;
 6. the CIRCULANT fused kernel (``ops/circulant_fused.py``, split3
-   one-hot remainder machinery) on the same edges vs the same truth;
+   one-hot remainder machinery) on the same edges vs the same truth,
+   and (6b) the K-axis circulant SIMPLEX kernel
+   (``ops/circulant_fused_simplex.py``) on grid+chord edges vs its
+   staged f64 twin;
 7. the HALO RDMA kernel (``ops/halo_fused.py``) as a 1-shard
    self-copy ring vs the staged path on chip;
 8. the fused PDHG MIN-CUT and COMPONENTS kernels
@@ -155,8 +158,27 @@ def stage_cpu():
         opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=300, fused="off"))
     p_sx = np.asarray(res_sx.p)
 
+    # multi-label circulant truth: same grid plus random chords so the
+    # K-axis kernel's remainder one-hot tiles are exercised on the MXU
+    from cp_pfdr_graph_d1_tpu.graph import GraphD1 as _G
+    rc = np.random.default_rng(13)
+    ceu = rc.integers(0, 96 * 96, 600).astype(np.int32)
+    cev = ((ceu + rc.integers(1, 4000, 600)) % (96 * 96)).astype(np.int32)
+    keepc = ceu != cev
+    eu_c = np.concatenate([eu, ceu[keepc]])
+    ev_c = np.concatenate([ev, cev[keepc]])
+    la_c = np.concatenate([la_d1, np.full(int(keepc.sum()), 2e-3,
+                                          la_d1.dtype)])
+    g_c64 = _G.create(eu_c, ev_c, la_c.astype(np.float64),
+                      num_vertices=96 * 96, dtype=jnp.float64)
+    res_cx = pfdr_loss_d1_simplex(
+        g_c64, jnp.asarray(q4), al=1.0,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=300, fused="off"))
+    p_cx = np.asarray(res_cx.p)
+
     np.savez(TRUTH_PATH, f64=f64, x_s=x_s, lip=lip, x_sg=x_sg,
-             lip96=lip96, q4=q4, p_sx=p_sx)
+             lip96=lip96, q4=q4, p_sx=p_sx, eu_c=eu_c, ev_c=ev_c,
+             la_c=la_c, p_cx=p_cx)
     print(f"cpu truths written: cp objective {f64:.6g}", flush=True)
 
 
@@ -284,6 +306,19 @@ def stage_tpu():
     relc = abs(fc - fs96) / max(abs(fs96), 1e-12)
     check("fused-circulant-vs-staged-f64", relc < 1e-4,
           f"objective rel {relc:.3g} (f32 {fc:.6g} / f64 {fs96:.6g})")
+
+    # -- 6b. K-axis circulant SIMPLEX kernel (r05) vs staged f64 -----------
+    # grid + chords: shift families AND remainder one-hot tiles on the MXU
+    cgx = CirculantGraphD1.create(truth["eu_c"], truth["ev_c"],
+                                  truth["la_c"].astype(np.float32),
+                                  num_vertices=96 * 96, dtype=jnp.float32)
+    assert cgx.num_rem > 0 and cgx.supports_fused_simplex(4)
+    res_cs = pfdr_loss_d1_simplex(
+        cgx, jnp.asarray(q4), al=1.0,
+        opt=PFDROptions(rho=1.5, dif_tol=0.0, it_max=300, fused="auto"))
+    perr_c = float(np.max(np.abs(np.asarray(res_cs.p) - truth["p_cx"])))
+    check("fused-circulant-simplex-vs-staged-f64", perr_c < 5e-4,
+          f"iterate max-abs {perr_c:.3g} after 300 its")
 
     # -- 7. halo RDMA kernel as a 1-shard self-copy ring -------------------
     # (its lane-roll slices need the field width 128-aligned; separate
