@@ -159,6 +159,8 @@ def cp_loss_d1_simplex_sharded(q, graph: StencilGraphD1, mesh: Mesh, *,
     f = len(g.shifts)
     q_np = np.asarray(q)
     k = q_np.shape[1]
+    if k < 2:
+        raise ValueError("multi-label cut-pursuit needs K >= 2 labels")
     dtype = q_np.dtype
     label_mode = opt.dif_tol >= 1.0
     tol_scale = opt.dif_tol / num_v if label_mode else opt.dif_tol
